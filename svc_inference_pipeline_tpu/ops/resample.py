@@ -61,7 +61,13 @@ def _out_len(n_in: int, up: int, down: int) -> int:
     return -((-n_in * up) // down)  # ceil(n_in * up / down), exact
 
 
-@partial(jax.jit, static_argnames=("sr_orig", "sr_new", "quality"))
+@partial(jax.jit, static_argnames=("pad",))
+def _resample_apply(x: jnp.ndarray, idx: jnp.ndarray, tap_rows: jnp.ndarray, pad: int) -> jnp.ndarray:
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    windows = xp[..., idx]  # [..., n_out, K]
+    return jnp.einsum("...ok,ok->...o", windows, tap_rows)
+
+
 def _resample_jit(x: jnp.ndarray, sr_orig: int, sr_new: int, quality: str) -> jnp.ndarray:
     taps, up, down, pad = _polyphase_taps(sr_orig, sr_new, quality)
     n_out = _out_len(int(x.shape[-1]), up, down)
@@ -70,11 +76,10 @@ def _resample_jit(x: jnp.ndarray, sr_orig: int, sr_new: int, quality: str) -> jn
     left = (n * down) // up
     phase = (n * down) % up
     idx = left[:, None] + np.arange(2 * pad + 1)[None, :]  # pad shifts cancel
-
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
-    windows = xp[..., jnp.asarray(idx.astype(np.int32))]  # [..., n_out, K]
-    tap_rows = jnp.asarray(taps)[jnp.asarray(phase.astype(np.int32))]  # [n_out, K]
-    return jnp.einsum("...ok,ok->...o", windows, tap_rows)
+    # idx/taps enter as runtime arguments (not closure constants) so XLA
+    # doesn't burn compile time constant-folding the [n_out, K] gather.
+    tap_rows = taps[phase]
+    return _resample_apply(x, jnp.asarray(idx.astype(np.int32)), jnp.asarray(tap_rows), pad)
 
 
 def resample(x, sr_orig: int, sr_new: int, quality: str = "kaiser_best"):
