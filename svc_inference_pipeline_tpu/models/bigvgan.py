@@ -1,0 +1,384 @@
+"""BigVGAN vocoder generator, TPU-native.
+
+Functional rebuild of /root/reference/modules/bigvgan.py:14-632 with
+channels-last [B, T, C] layout:
+
+* Snake / SnakeBeta periodic activations (x + sin²(αx)/β, optional
+  log-scale parameters — config: snakebeta + logscale),
+* anti-aliased activation sandwich (2× windowed-sinc upsample → snake →
+  2× low-pass downsample) — the dominant op count of the whole vocoder;
+  a fused Pallas kernel backs it on TPU (ops/pallas/snake.py), with this
+  XLA composition as the reference path,
+* AMPBlock1/2 multi-dilation residual stacks,
+* 6 transposed-conv upsampling stages (rates 4,4,2,2,2,2 = ×256 == hop).
+
+Weight-norm parametrisation is *folded at conversion time*
+(checkpoints/torch_convert.py) — the reference keeps g·v/‖v‖ live at
+inference because it never calls remove_weight_norm (bigvgan.py:624-631);
+folding is numerically identical and removes a normalisation per step.
+
+Filter design: Kaiser-windowed sinc low-pass from the standard
+Oppenheim–Schafer design formula (β from stop-band attenuation), matching
+the reference's filters (bigvgan.py:162-193) bit-for-bit in f32 — verified
+by the parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Kaiser-windowed sinc filter design (numpy, f64 → f32)
+# ---------------------------------------------------------------------------
+
+
+def _kaiser_window(n: int, beta: float) -> np.ndarray:
+    """Symmetric Kaiser window (torch.kaiser_window(periodic=False))."""
+    k = np.arange(n, dtype=np.float64)
+    x = 2.0 * k / (n - 1) - 1.0
+    return np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - x * x))) / np.i0(beta)
+
+
+@lru_cache(maxsize=None)
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Low-pass FIR [kernel_size], sum-normalised (bigvgan.py:162-193)."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+
+    delta_f = 4.0 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = _kaiser_window(kernel_size, beta)
+
+    if even:
+        time = np.arange(-half_size, half_size, dtype=np.float64) + 0.5
+    else:
+        time = np.arange(kernel_size, dtype=np.float64) - half_size
+
+    if cutoff == 0:
+        return np.zeros(kernel_size, dtype=np.float32)
+    filt = 2.0 * cutoff * window * np.sinc(2.0 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise filtering primitives (channels-last)
+# ---------------------------------------------------------------------------
+
+
+def _depthwise_conv(x: jnp.ndarray, filt: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """x [B,T,C] ⊛ filt [K] per channel, stride, VALID padding."""
+    c = x.shape[-1]
+    kernel = jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+
+
+def upsample1d(x: jnp.ndarray, ratio: int, kernel_size: Optional[int] = None) -> jnp.ndarray:
+    """Windowed-sinc ×ratio upsampling (bigvgan.py:259-287 semantics)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    pad = k // ratio - 1
+    pad_left = pad * ratio + (k - ratio) // 2
+    pad_right = pad * ratio + (k - ratio + 1) // 2
+    filt = jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k))
+
+    x = jnp.pad(x, [(0, 0), (pad, pad), (0, 0)], mode="edge")
+    c = x.shape[-1]
+    kernel = jnp.broadcast_to(jnp.flip(filt)[:, None, None], (k, 1, c)).astype(x.dtype)
+    # torch conv_transpose1d(stride=ratio, padding=0) ≡ lhs-dilated conv with
+    # (k-1) padding and a flipped kernel.
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(ratio,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+    y = ratio * y
+    return y[:, pad_left : y.shape[1] - pad_right, :]
+
+
+def downsample1d(x: jnp.ndarray, ratio: int, kernel_size: Optional[int] = None) -> jnp.ndarray:
+    """Low-pass + decimate ×ratio (bigvgan.py:196-231,290-307 semantics)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    even = k % 2 == 0
+    pad_left = k // 2 - int(even)
+    pad_right = k // 2
+    filt = jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k))
+    x = jnp.pad(x, [(0, 0), (pad_left, pad_right), (0, 0)], mode="edge")
+    return _depthwise_conv(x, filt, stride=ratio)
+
+
+# ---------------------------------------------------------------------------
+# Snake activations
+# ---------------------------------------------------------------------------
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+    """x + (1/α)·sin²(αx); α per channel (bigvgan.py:42-95)."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+    return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+    """x + (1/β)·sin²(αx); separate frequency/magnitude (bigvgan.py:98-159)."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+class SnakeAct(nn.Module):
+    """Parameterised snake/snakebeta over the channel axis."""
+
+    channels: int
+    kind: str  # "snake" | "snakebeta"
+    logscale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        if self.kind == "snake":
+            return snake(x, alpha, self.logscale)
+        beta = self.param("beta", init, (self.channels,))
+        return snake_beta(x, alpha, beta, self.logscale)
+
+
+class Activation1d(nn.Module):
+    """Anti-aliased activation: 2× upsample → snake → 2× downsample.
+
+    The reference wraps *every* nonlinearity in the generator this way
+    (bigvgan.py:234-256) — the waveform-rate tensor is processed at 2× rate
+    around each activation. ``use_pallas`` routes to the fused kernel.
+    """
+
+    channels: int
+    kind: str
+    logscale: bool
+    up_ratio: int = 2
+    down_ratio: int = 2
+    up_kernel_size: int = 12
+    down_kernel_size: int = 12
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        beta = (
+            self.param("beta", init, (self.channels,))
+            if self.kind == "snakebeta"
+            else alpha
+        )
+        if self.use_pallas:
+            from svc_inference_pipeline_tpu.ops.pallas.snake import fused_activation1d
+
+            return fused_activation1d(
+                x, alpha, beta, self.kind, self.logscale,
+                self.up_ratio, self.down_ratio,
+                self.up_kernel_size, self.down_kernel_size,
+            )
+        y = upsample1d(x, self.up_ratio, self.up_kernel_size)
+        if self.kind == "snake":
+            y = snake(y, alpha, self.logscale)
+        else:
+            y = snake_beta(y, alpha, beta, self.logscale)
+        return downsample1d(y, self.down_ratio, self.down_kernel_size)
+
+
+# ---------------------------------------------------------------------------
+# Conv helpers with torch semantics
+# ---------------------------------------------------------------------------
+
+
+class TorchConv1d(nn.Module):
+    """Conv1d with torch's symmetric padding p = d(k-1)/2 (same length)."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class TorchConvTranspose1d(nn.Module):
+    """ConvTranspose1d(k, stride u, padding (k-u)//2) with torch semantics.
+
+    Output length (T-1)·u − 2p + k = T·u for the BigVGAN configuration.
+    Kernel is stored [K, Cout, Cin] (converter maps torch's [Cin, Cout, K]).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, u = self.kernel_size, self.stride
+        p = (k - u) // 2
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (k, self.features, cin),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # lhs-dilated correlation with flipped kernel ≡ transposed conv
+        w = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # [K, Cin, Cout]
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(self.dtype or x.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# AMP blocks + generator
+# ---------------------------------------------------------------------------
+
+
+class AMPBlock1(nn.Module):
+    """3 × (dilated conv + plain conv), 6 anti-aliased activations
+    (bigvgan.py:310-439)."""
+
+    cfg: Any
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kind = self.cfg.activation
+        logscale = self.cfg.snake_logscale
+        for j, d in enumerate(self.dilations):
+            xt = Activation1d(
+                self.channels, kind, logscale, name=f"act1_{j}", use_pallas=self.use_pallas
+            )(x)
+            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv1_{j}")(xt)
+            xt = Activation1d(
+                self.channels, kind, logscale, name=f"act2_{j}", use_pallas=self.use_pallas
+            )(xt)
+            xt = TorchConv1d(self.channels, self.kernel_size, 1, name=f"conv2_{j}")(xt)
+            x = xt + x
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """2 × dilated conv variant (bigvgan.py:442-516)."""
+
+    cfg: Any
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kind = self.cfg.activation
+        logscale = self.cfg.snake_logscale
+        for j, d in enumerate(self.dilations):
+            xt = Activation1d(
+                self.channels, kind, logscale, name=f"act_{j}", use_pallas=self.use_pallas
+            )(x)
+            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv_{j}")(xt)
+            x = xt + x
+        return x
+
+
+class BigVGANGenerator(nn.Module):
+    """mel [B, T, n_mels] → waveform [B, T×256] (bigvgan.py:519-632).
+
+    ``cfg`` is the vocoder config subtree. ``use_pallas`` enables the fused
+    Activation1d kernel on TPU.
+    """
+
+    cfg: Any
+    use_pallas: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = self.compute_dtype or mel.dtype
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
+
+        x = TorchConv1d(cfg.upsample_initial_channel, 7, name="conv_pre")(
+            mel.astype(dtype)
+        )
+
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = TorchConvTranspose1d(ch, k, u, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                y = block_cls(
+                    cfg,
+                    ch,
+                    rk,
+                    tuple(rd),
+                    name=f"resblock_{i}_{j}",
+                    use_pallas=self.use_pallas,
+                )(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+
+        x = Activation1d(
+            ch, cfg.activation, cfg.snake_logscale, name="activation_post",
+            use_pallas=self.use_pallas,
+        )(x)
+        x = TorchConv1d(1, 7, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+def vocoder_output_to_audio(wave: jnp.ndarray, n_frames: int, hop_length: int) -> jnp.ndarray:
+    """Trim to frames×hop and apply the reference's 20-frame linear fade-out
+    (modules/bigvgan_inference.py:33-42)."""
+    n = n_frames * hop_length
+    wave = wave[..., :n]
+    fade_len = 20 * hop_length
+    fade = jnp.linspace(1.0, 0.0, fade_len)
+    return wave.at[..., -fade_len:].multiply(fade)

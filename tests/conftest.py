@@ -92,7 +92,7 @@ def _install_reference_stubs():
     sys.modules.setdefault("librosa.filters", librosa.filters)
     sys.modules.setdefault("librosa.core", librosa.core)
 
-    for name in ("parselmouth", "torchcrepe", "pyworld", "soundfile", "json5_unused"):
+    for name in ("parselmouth", "torchcrepe", "pyworld", "soundfile", "ffmpeg"):
         sys.modules.setdefault(name, types.ModuleType(name))
 
 
@@ -104,11 +104,14 @@ def reference_modules():
     _install_reference_stubs()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    import modules.bigvgan as ref_bigvgan  # noqa: F401
     import modules.diffsvc as ref_diffsvc  # noqa: F401
     import modules.encoder as ref_encoder  # noqa: F401
     import utils.mel as ref_mel  # noqa: F401
 
-    return types_namespace(diffsvc=ref_diffsvc, encoder=ref_encoder, mel=ref_mel)
+    return types_namespace(
+        diffsvc=ref_diffsvc, encoder=ref_encoder, mel=ref_mel, bigvgan=ref_bigvgan
+    )
 
 
 def types_namespace(**kw):
