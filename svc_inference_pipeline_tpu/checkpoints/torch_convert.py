@@ -54,16 +54,27 @@ def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
 def fold_weight_norm(state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Fold ``weight_g``/``weight_v`` pairs into plain ``weight`` entries.
 
-    torch's weight_norm(dim=0): w = g · v / ‖v‖ with the norm taken over all
-    dims except 0.
+    torch's weight_norm(dim=d): w = g · v / ‖v‖ with the norm over all dims
+    except d. The dim is inferred from g's shape (size 1 everywhere except
+    d) — BigVGAN uses the default dim=0, HuBERT's pos_conv uses dim=2.
+    New-style ``parametrizations.weight.original0/1`` keys are normalised to
+    weight_g/weight_v first.
     """
+    renamed = {}
+    for k, v in state_dict.items():
+        nk = k.replace("parametrizations.weight.original0", "weight_g")
+        nk = nk.replace("parametrizations.weight.original1", "weight_v")
+        renamed[nk] = v
+
     out: Dict[str, np.ndarray] = {}
-    for key, value in state_dict.items():
+    for key, value in renamed.items():
         if key.endswith("weight_v"):
             base = key[: -len("weight_v")]
-            g = np.asarray(state_dict[base + "weight_g"], dtype=np.float64)
+            g = np.asarray(renamed[base + "weight_g"], dtype=np.float64)
             v = np.asarray(value, dtype=np.float64)
-            axes = tuple(range(1, v.ndim))
+            non_unit = [d for d in range(g.ndim) if g.shape[d] != 1]
+            dim = non_unit[0] if non_unit else 0
+            axes = tuple(d for d in range(v.ndim) if d != dim)
             norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
             out[base + "weight"] = (g * v / norm).astype(np.float32)
         elif key.endswith("weight_g"):

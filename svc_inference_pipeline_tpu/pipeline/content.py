@@ -1,0 +1,143 @@
+"""Content feature extractors: Whisper PPG (live path) and ContentVec.
+
+Reference behaviour being replaced:
+* utils/whisper.py:96-103 reloads the 769M-parameter Whisper model on
+  EVERY call — here the encoder params live on device once,
+* the audio reaches Whisper through an ffmpeg subprocess at 16 kHz
+  (whisper_extractor/audio.py:22-49) — here the 24 kHz pipeline waveform is
+  resampled on device, no process boundary,
+* features are remapped 480→256 hop on the host in numpy
+  (utils/whisper.py:31-81) — here the remap is jitted with the encoder.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svc_inference_pipeline_tpu.models.whisper import WhisperAudioEncoder, WhisperDims, WHISPER_SIZES
+from svc_inference_pipeline_tpu.ops.remap import remap_features
+from svc_inference_pipeline_tpu.ops.whisper_mel import (
+    N_SAMPLES,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from svc_inference_pipeline_tpu.ops.resample import resample
+
+
+class WhisperPPGExtractor:
+    """audio @ fs → PPG features aligned to the mel hop grid.
+
+    Holds converted encoder params; one jit-compiled function covers
+    resample → pad/trim(30 s) → log-mel [80,3000] → encoder [1500, D].
+    """
+
+    def __init__(
+        self,
+        dims: WhisperDims,
+        params,
+        compute_dtype=jnp.bfloat16,
+        fs: int = 24000,
+    ):
+        self.dims = dims
+        self.params = params
+        self.fs = fs
+        self.encoder = WhisperAudioEncoder(dims, compute_dtype=compute_dtype)
+        self._embed = jax.jit(
+            lambda p, mel: self.encoder.apply({"params": p}, mel)
+        )
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "WhisperPPGExtractor":
+        from svc_inference_pipeline_tpu.checkpoints.torch_convert import load_whisper
+
+        dims_dict, params = load_whisper(path)
+        dims = WhisperDims(**dims_dict)
+        return cls(dims, params["encoder"], **kw)
+
+    @classmethod
+    def random_init(cls, size_or_dims="tiny", seed: int = 0, **kw) -> "WhisperPPGExtractor":
+        """Random-weight extractor for smoke runs (no checkpoints ship with
+        the reference repo)."""
+        dims = (
+            WHISPER_SIZES[size_or_dims]
+            if isinstance(size_or_dims, str)
+            else size_or_dims
+        )
+        enc = WhisperAudioEncoder(dims)
+        params = enc.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, dims.n_mels, 3000), jnp.float32)
+        )["params"]
+        return cls(dims, params, **kw)
+
+    def embed_audio(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """[B, 80, 3000] → [B, 1500, D] (whisper_extractor/model.py:217)."""
+        return self._embed(self.params, mel)
+
+    def extract(self, audio: np.ndarray, mel_len: int) -> np.ndarray:
+        """Waveform @ self.fs → [min(mel_len, 2812), D] mel-rate PPG.
+
+        Mirrors whisper_feature_extractor (utils/whisper.py:96-103):
+        30 s pad/trim (longer audio is truncated — the reference's
+        long-context behaviour), [1500, D] encode, 480→256 remap.
+        """
+        audio16 = resample(jnp.asarray(audio, dtype=jnp.float32), self.fs, 16000)
+        audio16 = pad_or_trim(audio16)
+        mel = log_mel_spectrogram(audio16)  # [80, 3000]
+        feats = self.embed_audio(mel[None])[0]  # [1500, D]
+        return remap_features(np.asarray(feats, dtype=np.float32), mel_len)
+
+
+class ContentVecExtractor:
+    """ContentVec/HuBERT content features (configured-off on the reference's
+    live path: wired in config but commented out in the driver, infer.py:65).
+
+    Backed by models/hubert.py; checkpoint conversion from fairseq layout.
+    """
+
+    def __init__(self, params, cfg=None, fs: int = 24000, output_layer: int = 9):
+        from svc_inference_pipeline_tpu.models.hubert import HubertModel, HubertConfig
+
+        self.cfg = cfg or HubertConfig()
+        self.model = HubertModel(self.cfg)
+        self.params = params
+        self.fs = fs
+        self.output_layer = output_layer
+        self._extract = jax.jit(
+            lambda p, wav: self.model.apply(
+                {"params": p}, wav, output_layer=self.output_layer, final_proj=True
+            )
+        )
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "ContentVecExtractor":
+        from svc_inference_pipeline_tpu.checkpoints.hubert_convert import load_hubert
+
+        cfg, params = load_hubert(path)
+        return cls(params, cfg=cfg, **kw)
+
+    @classmethod
+    def random_init(cls, seed: int = 0, **kw) -> "ContentVecExtractor":
+        from svc_inference_pipeline_tpu.models.hubert import HubertModel, HubertConfig
+
+        cfg = HubertConfig()
+        model = HubertModel(cfg)
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 16000), jnp.float32),
+            output_layer=9,
+            final_proj=True,
+        )["params"]
+        return cls(params, cfg=cfg, **kw)
+
+    def extract(self, audio: np.ndarray, mel_len: int) -> np.ndarray:
+        """Waveform @ self.fs → [mel_len, 256] (utils/hubert.py:138-143)."""
+        from svc_inference_pipeline_tpu.ops.remap import remap_features_tolerant
+
+        audio16 = resample(jnp.asarray(audio, dtype=jnp.float32), self.fs, 16000)
+        feats = self._extract(self.params, audio16[None])[0]  # [S, 256]
+        return remap_features_tolerant(np.asarray(feats, dtype=np.float32), mel_len)

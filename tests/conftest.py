@@ -70,12 +70,18 @@ def _install_reference_stubs():
     those from our own (independently derived) DSP code, so the reference
     code itself runs unmodified as the source of truth.
     """
+    import importlib.machinery
     import types
 
     import svc_inference_pipeline_tpu.ops.mel as our_mel
 
-    librosa = types.ModuleType("librosa")
-    librosa.filters = types.ModuleType("librosa.filters")
+    def _stub_module(name):
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return mod
+
+    librosa = _stub_module("librosa")
+    librosa.filters = _stub_module("librosa.filters")
 
     def _mel(*, sr, n_fft, n_mels, fmin=0.0, fmax=None, **kw):
         return our_mel.mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(np.float64)
@@ -87,13 +93,18 @@ def _install_reference_stubs():
 
     librosa.filters.mel = _mel
     librosa.note_to_hz = _note_to_hz
-    librosa.core = types.ModuleType("librosa.core")
+    librosa.core = _stub_module("librosa.core")
     sys.modules.setdefault("librosa", librosa)
     sys.modules.setdefault("librosa.filters", librosa.filters)
     sys.modules.setdefault("librosa.core", librosa.core)
 
     for name in ("parselmouth", "torchcrepe", "pyworld", "soundfile", "ffmpeg"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules.setdefault(name, _stub_module(name))
+
+    fairseq = _stub_module("fairseq")
+    fairseq.checkpoint_utils = _stub_module("fairseq.checkpoint_utils")
+    sys.modules.setdefault("fairseq", fairseq)
+    sys.modules.setdefault("fairseq.checkpoint_utils", fairseq.checkpoint_utils)
 
 
 @pytest.fixture(scope="session")
