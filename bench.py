@@ -1,0 +1,100 @@
+"""Benchmark: end-to-end conversion RTF on one TPU chip.
+
+Workload = the reference pipeline's headline path at full model scale
+(BASELINE.md): 10 s clip → mel/F0/energy front-end → Whisper-medium-size
+encoder → 1000-step DDPM over the 20-block DiffSVC denoiser → full-width
+BigVGAN → waveform. Random weights (the reference repo ships no
+checkpoints); compute shape and numerics match the real models exactly.
+
+Prints ONE JSON line:
+    {"metric": "e2e_rtf_10s_ddpm1000", "value": <rtf>, "unit": "rtf",
+     "vs_baseline": <0.05 / rtf>}
+
+vs_baseline is measured against the BASELINE.md target (RTF < 0.05 on one
+v5e chip): >1.0 means the target is beaten. Extra component timings go to
+stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from svc_inference_pipeline_tpu.config import DEFAULT_CONFIG, load_config
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+    from svc_inference_pipeline_tpu.utils.audio_io import load_audio
+
+    cfg = load_config(DEFAULT_CONFIG)
+    log(f"devices: {jax.devices()}")
+
+    # 10 s input: tile the reference clip if available, else a harmonic tone
+    src = "/root/reference/test_set/1100000814.wav"
+    fs = cfg.fs
+    if os.path.exists(src):
+        audio, _ = load_audio(src, fs)
+        audio = np.asarray(audio)
+        reps = int(np.ceil(10 * fs / len(audio)))
+        audio = np.tile(audio, reps)[: 10 * fs]
+    else:
+        t = np.arange(10 * fs) / fs
+        audio = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    duration = len(audio) / fs
+
+    t0 = time.time()
+    pipe = SVCPipeline.from_config(cfg, random_weights=True, whisper_size="medium")
+    log(f"model build: {time.time() - t0:.1f}s")
+
+    key = jax.random.PRNGKey(0)
+
+    # warm-up (compiles every stage)
+    t0 = time.time()
+    wave = pipe.convert(audio, "svcc_CDF1", key=key)
+    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape}")
+
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i))
+        times.append(time.time() - t0)
+    rtf = float(np.median(times) / duration)
+    log(f"e2e times: {[f'{x:.3f}' for x in times]} → RTF {rtf:.4f} ({duration:.1f}s audio)")
+
+    # component breakdown (stderr only)
+    t0 = time.time()
+    batch, n_frames = pipe.extract_features(audio, "svcc_CDF1")
+    fe_time = time.time() - t0
+    log(f"front-end (mel+f0+whisper+pack): {fe_time:.3f}s")
+
+    import jax.numpy as jnp
+
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    padded = batch["melody"].shape[1]
+    t0 = time.time()
+    out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
+                     arrays, key, n_frames=padded)
+    out.block_until_ready()
+    log(f"core (cond+ddpm1000+vocoder): {time.time() - t0:.3f}s")
+
+    print(json.dumps({
+        "metric": "e2e_rtf_10s_ddpm1000",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": 0.05 / rtf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Diffusion (mapper) training: condition encoder + DiffSVC denoiser.
+
+The reference has NO exercised training path (SURVEY §2.9 — its
+discriminators are dead code and no optimiser exists anywhere); this module
+adds the standard DiffSVC objective as a mesh-sharded pjit step:
+
+* data parallelism over the batch axis,
+* tensor parallelism over the rules in parallel/sharding.py,
+* gradients reduced by GSPMD-inserted collectives — no hand-written psum.
+
+Batch contract: ``{"mel": [B,T,M] normalised to [-1,1], "content_*",
+"melody", "loudness", "singer"}`` — the same feature dict the inference
+pipeline builds, plus the target mel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from svc_inference_pipeline_tpu.models.diffsvc import DiffSVCDenoiser
+from svc_inference_pipeline_tpu.models.encoder import ConditionEncoder
+from svc_inference_pipeline_tpu.parallel.sharding import (
+    MAPPER_TP_RULES,
+    param_specs,
+    shard_params,
+)
+from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+
+@flax.struct.dataclass
+class DiffusionTrainState:
+    step: jnp.ndarray
+    enc_params: Any
+    den_params: Any
+    opt_state: Any
+
+
+def init_diffusion_train_state(
+    cfg,
+    key: jax.Array,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    t_feat: int = 16,
+) -> Tuple[DiffusionTrainState, optax.GradientTransformation]:
+    mcfg = cfg.mapper
+    k1, k2 = jax.random.split(key)
+    content_dim = mcfg.input_content_dim["whisper"]
+    dummy = {
+        "content_whisper": jnp.zeros((1, t_feat, content_dim)),
+        "melody": jnp.zeros((1, t_feat)),
+        "loudness": jnp.zeros((1, t_feat)),
+        "singer": jnp.zeros((1, 1), jnp.int32),
+    }
+    enc_params = ConditionEncoder(mcfg).init(k1, dummy)["params"]
+    den_params = DiffSVCDenoiser(mcfg).init(
+        k2,
+        jnp.zeros((1, t_feat, mcfg.n_mel)),
+        jnp.zeros((1, t_feat, mcfg.conditioner_size)),
+        jnp.zeros((1, 1), jnp.int32),
+    )["params"]
+
+    optimizer = optimizer or optax.adamw(1e-4, weight_decay=1e-6)
+    opt_state = optimizer.init({"enc": enc_params, "den": den_params})
+    state = DiffusionTrainState(
+        step=jnp.zeros((), jnp.int32),
+        enc_params=enc_params,
+        den_params=den_params,
+        opt_state=opt_state,
+    )
+    return state, optimizer
+
+
+def make_diffusion_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted train step; with a mesh, params/batch are sharded."""
+    mcfg = cfg.mapper
+    encoder = ConditionEncoder(mcfg)
+    denoiser = DiffSVCDenoiser(mcfg)
+    schedule = DiffusionSchedule.from_config(mcfg)
+
+    def loss_fn(params, batch, key):
+        cond = encoder.apply({"params": params["enc"]}, batch)
+        x0 = batch["mel"]
+        b = x0.shape[0]
+        t_key, n_key = jax.random.split(key)
+        t = jax.random.randint(t_key, (b,), 0, schedule.num_steps)
+        noise = jax.random.normal(n_key, x0.shape, dtype=x0.dtype)
+        x_t = schedule.q_sample(x0, t, noise)
+        eps = denoiser.apply({"params": params["den"]}, x_t, cond, t[:, None])
+        return jnp.mean(jnp.square(eps - noise))
+
+    def train_step(state: DiffusionTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        params = {"enc": state.enc_params, "den": state.den_params}
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (
+            DiffusionTrainState(
+                step=state.step + 1,
+                enc_params=params["enc"],
+                den_params=params["den"],
+                opt_state=opt_state,
+            ),
+            loss,
+        )
+
+    if mesh is None:
+        return jax.jit(train_step)
+
+    # batch shards over data; params follow the TP rules
+    data_axis = mesh.axis_names[0]
+
+    def batch_spec(x):
+        return P(data_axis, *([None] * (x.ndim - 1)))
+
+    def shard_state(state: DiffusionTrainState) -> DiffusionTrainState:
+        enc = shard_params(state.enc_params, mesh, MAPPER_TP_RULES)
+        den = shard_params(state.den_params, mesh, MAPPER_TP_RULES)
+        opt = jax.device_put(state.opt_state, NamedSharding(mesh, P()))
+        return DiffusionTrainState(
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            enc_params=enc,
+            den_params=den,
+            opt_state=opt,
+        )
+
+    step_fn = jax.jit(train_step)
+    step_fn.shard_state = shard_state  # type: ignore[attr-defined]
+    step_fn.batch_shard = lambda batch: {  # type: ignore[attr-defined]
+        k: jax.device_put(v, NamedSharding(mesh, batch_spec(v))) for k, v in batch.items()
+    }
+    return step_fn

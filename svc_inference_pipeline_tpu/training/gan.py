@@ -1,0 +1,197 @@
+"""Adversarial vocoder training (BigVGAN objective) — live, mesh-sharded.
+
+The reference's discriminators are dead code and its composite train
+wrapper is commented out (/root/reference/modules/bigvgan.py:886-907);
+this module implements the standard BigVGAN losses they were built for:
+
+* LS-GAN adversarial loss over MPD + MRD,
+* feature-matching L1 over all discriminator fmaps,
+* 45×-weighted log-mel L1 reconstruction loss (HiFi-GAN/BigVGAN recipe),
+
+as two pjit-able steps (discriminator / generator) with data parallelism
+over the batch and the generator's channel TP rules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from svc_inference_pipeline_tpu.models.bigvgan import BigVGANGenerator
+from svc_inference_pipeline_tpu.models.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+)
+from svc_inference_pipeline_tpu.ops.mel import mel_spectrogram
+
+MEL_LOSS_WEIGHT = 45.0
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray
+    gen_params: Any
+    mpd_params: Any
+    mrd_params: Any
+    gen_opt: Any
+    disc_opt: Any
+
+
+def init_gan_train_state(
+    cfg,
+    key: jax.Array,
+    gen_optimizer: Optional[optax.GradientTransformation] = None,
+    disc_optimizer: Optional[optax.GradientTransformation] = None,
+    t_frames: int = 8,
+):
+    vcfg = cfg.vocoder
+    hop = cfg.hop_length
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    gen = BigVGANGenerator(vcfg)
+    mpd = MultiPeriodDiscriminator(vcfg)
+    mrd = MultiResolutionDiscriminator(vcfg)
+
+    mel = jnp.zeros((1, t_frames, vcfg.input_dim))
+    wave = jnp.zeros((1, t_frames * hop))
+    gen_params = gen.init(k1, mel)["params"]
+    mpd_params = mpd.init(k2, wave, wave)["params"]
+    mrd_params = mrd.init(k3, wave, wave)["params"]
+
+    gen_optimizer = gen_optimizer or optax.adamw(2e-4, b1=0.8, b2=0.99)
+    disc_optimizer = disc_optimizer or optax.adamw(2e-4, b1=0.8, b2=0.99)
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        mpd_params=mpd_params,
+        mrd_params=mrd_params,
+        gen_opt=gen_optimizer.init(gen_params),
+        disc_opt=disc_optimizer.init({"mpd": mpd_params, "mrd": mrd_params}),
+    )
+    return state, gen_optimizer, disc_optimizer
+
+
+def _ls_disc_loss(reals, fakes):
+    loss = 0.0
+    for r, f in zip(reals, fakes):
+        loss = loss + jnp.mean((r - 1.0) ** 2) + jnp.mean(f**2)
+    return loss
+
+
+def _ls_gen_loss(fakes):
+    loss = 0.0
+    for f in fakes:
+        loss = loss + jnp.mean((f - 1.0) ** 2)
+    return loss
+
+
+def _feature_matching(fmaps_r, fmaps_g):
+    loss = 0.0
+    for fr, fg in zip(fmaps_r, fmaps_g):
+        for r, g in zip(fr, fg):
+            loss = loss + jnp.mean(jnp.abs(r - g))
+    return loss
+
+
+def make_gan_train_steps(cfg, gen_optimizer, disc_optimizer, mesh: Optional[Mesh] = None):
+    """Returns (disc_step, gen_step), each jitted.
+
+    Batch: {"mel": [B, T, n_mels] log-mel, "wave": [B, T*hop] target audio}.
+    """
+    vcfg = cfg.vocoder
+    gen = BigVGANGenerator(vcfg)
+    mpd = MultiPeriodDiscriminator(vcfg)
+    mrd = MultiResolutionDiscriminator(vcfg)
+
+    def _mel_of(wave):
+        return mel_spectrogram(
+            wave, cfg.n_fft, cfg.n_mels, cfg.fs, cfg.hop_length, cfg.win_length,
+            cfg.fmin, cfg.fmax,
+        )
+
+    def disc_loss_fn(disc_params, gen_params, batch):
+        y = batch["wave"]
+        y_hat = jax.lax.stop_gradient(gen.apply({"params": gen_params}, batch["mel"]))
+        mpd_r, mpd_g, _, _ = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
+        mrd_r, mrd_g, _, _ = mrd.apply({"params": disc_params["mrd"]}, y, y_hat)
+        return _ls_disc_loss(mpd_r, mpd_g) + _ls_disc_loss(mrd_r, mrd_g)
+
+    def gen_loss_fn(gen_params, disc_params, batch):
+        y = batch["wave"]
+        y_hat = gen.apply({"params": gen_params}, batch["mel"])
+        mpd_r, mpd_g, mpd_fr, mpd_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
+        mrd_r, mrd_g, mrd_fr, mrd_fg = mrd.apply({"params": disc_params["mrd"]}, y, y_hat)
+        adv = _ls_gen_loss(mpd_g) + _ls_gen_loss(mrd_g)
+        fm = _feature_matching(mpd_fr, mpd_fg) + _feature_matching(mrd_fr, mrd_fg)
+        mel_l1 = jnp.mean(jnp.abs(_mel_of(y_hat) - _mel_of(y)))
+        return adv + 2.0 * fm + MEL_LOSS_WEIGHT * mel_l1, {
+            "adv": adv,
+            "fm": fm,
+            "mel_l1": mel_l1,
+        }
+
+    def disc_step(state: GANTrainState, batch):
+        disc_params = {"mpd": state.mpd_params, "mrd": state.mrd_params}
+        loss, grads = jax.value_and_grad(disc_loss_fn)(disc_params, state.gen_params, batch)
+        updates, disc_opt = disc_optimizer.update(grads, state.disc_opt, disc_params)
+        disc_params = optax.apply_updates(disc_params, updates)
+        return (
+            state.replace(
+                mpd_params=disc_params["mpd"],
+                mrd_params=disc_params["mrd"],
+                disc_opt=disc_opt,
+            ),
+            loss,
+        )
+
+    def gen_step(state: GANTrainState, batch):
+        disc_params = {"mpd": state.mpd_params, "mrd": state.mrd_params}
+        (loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params, disc_params, batch
+        )
+        updates, gen_opt = gen_optimizer.update(grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates)
+        return (
+            state.replace(step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt),
+            loss,
+            aux,
+        )
+
+    disc_jit = jax.jit(disc_step)
+    gen_jit = jax.jit(gen_step)
+
+    if mesh is not None:
+        from svc_inference_pipeline_tpu.parallel.sharding import VOCODER_TP_RULES, shard_params
+
+        data_axis = mesh.axis_names[0]
+
+        def shard_state(state: GANTrainState) -> GANTrainState:
+            rep = NamedSharding(mesh, P())
+            return GANTrainState(
+                step=jax.device_put(state.step, rep),
+                gen_params=shard_params(state.gen_params, mesh, VOCODER_TP_RULES),
+                mpd_params=jax.device_put(state.mpd_params, rep),
+                mrd_params=jax.device_put(state.mrd_params, rep),
+                gen_opt=jax.device_put(state.gen_opt, rep),
+                disc_opt=jax.device_put(state.disc_opt, rep),
+            )
+
+        def batch_shard(batch):
+            return {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P(data_axis, *([None] * (v.ndim - 1))))
+                )
+                for k, v in batch.items()
+            }
+
+        disc_jit.shard_state = shard_state  # type: ignore[attr-defined]
+        disc_jit.batch_shard = batch_shard  # type: ignore[attr-defined]
+        gen_jit.shard_state = shard_state  # type: ignore[attr-defined]
+        gen_jit.batch_shard = batch_shard  # type: ignore[attr-defined]
+
+    return disc_jit, gen_jit

@@ -1,0 +1,123 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svc_inference_pipeline_tpu.parallel.mesh import make_mesh
+from svc_inference_pipeline_tpu.parallel.sharding import (
+    MAPPER_TP_RULES,
+    WHISPER_TP_RULES,
+    param_specs,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(data=4, model=2)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m2 = make_mesh(model=2)  # data=-1 → all remaining
+    assert dict(m2.shape) == {"data": len(jax.devices()) // 2, "model": 2}
+
+
+def test_param_specs_rules():
+    params = {
+        "residual_0": {
+            "dilated_conv": {"kernel": jnp.zeros((3, 8, 16)), "bias": jnp.zeros(16)},
+            "output_projection": {"kernel": jnp.zeros((8, 16)), "bias": jnp.zeros(16)},
+        },
+        "mel_preprocess": {"kernel": jnp.zeros((100, 8)), "bias": jnp.zeros(8)},
+    }
+    specs = param_specs(params, MAPPER_TP_RULES)
+    from jax.sharding import PartitionSpec as P
+
+    assert specs["residual_0"]["dilated_conv"]["kernel"] == P(None, None, "model")
+    assert specs["residual_0"]["output_projection"]["kernel"] == P("model", None)
+    assert specs["mel_preprocess"]["kernel"] == P()  # replicated
+
+
+def test_shard_params_places_shards():
+    mesh = make_mesh(data=4, model=2)
+    params = {"residual_0": {"dilated_conv": {"kernel": jnp.zeros((3, 8, 16))}}}
+    sharded = shard_params(params, mesh, MAPPER_TP_RULES)
+    k = sharded["residual_0"]["dilated_conv"]["kernel"]
+    # last dim split over 2 model shards
+    shard_shapes = {s.data.shape for s in k.addressable_shards}
+    assert shard_shapes == {(3, 8, 8)}
+
+
+def test_whisper_tp_forward_matches_single_device():
+    """Whisper encoder output must be identical (up to fp tolerance) with
+    tensor-parallel sharded params on a 1x8 model mesh."""
+    from svc_inference_pipeline_tpu.models.whisper import WhisperAudioEncoder, WhisperDims
+
+    dims = WhisperDims(8, 50, 64, 8, 2, 100, 16, 64, 8, 2)
+    enc = WhisperAudioEncoder(dims)
+    mel = np.random.default_rng(0).standard_normal((1, 8, 100)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+
+    ref = np.asarray(enc.apply({"params": params}, mel))
+
+    mesh = make_mesh(data=1, model=8)
+    sharded = shard_params(params, mesh, WHISPER_TP_RULES)
+    with mesh:
+        out = np.asarray(jax.jit(lambda p, m: enc.apply({"params": p}, m))(sharded, mel))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_train_step_dp_tp(cfg):
+    """One sharded train step on a 4x2 mesh decreases nothing but runs and
+    returns a finite loss with sharded outputs."""
+    from svc_inference_pipeline_tpu.config import HParams
+    from svc_inference_pipeline_tpu.training.diffusion import (
+        init_diffusion_train_state,
+        make_diffusion_train_step,
+    )
+
+    d = cfg.to_dict()
+    d["mapper"]["residual_layer_num"] = 2
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    small = HParams(**d)
+
+    mesh = make_mesh(data=4, model=2)
+    state, optimizer = init_diffusion_train_state(small, jax.random.PRNGKey(0))
+    step_fn = make_diffusion_train_step(small, optimizer, mesh=mesh)
+    state = step_fn.shard_state(state)
+
+    b, t = 8, 16
+    mcfg = small.mapper
+    batch = step_fn.batch_shard(
+        {
+            "mel": jnp.ones((b, t, mcfg.n_mel)) * 0.1,
+            "content_whisper": jnp.zeros((b, t, mcfg.input_content_dim["whisper"])),
+            "melody": jnp.zeros((b, t)),
+            "loudness": jnp.zeros((b, t)),
+            "singer": jnp.zeros((b, 1), jnp.int32),
+        }
+    )
+    with mesh:
+        state2, loss = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # params actually changed
+    delta = jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b_: a - b_, state.den_params, state2.den_params
+        ),
+        0.0,
+    )
+    assert delta != 0.0
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
