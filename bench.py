@@ -32,6 +32,14 @@ def log(*a):
 def main():
     import jax
 
+    # persistent compile cache: repeated bench runs skip the (remote) compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimisation, never fatal
+        log(f"compilation cache unavailable: {e}")
+
     from svc_inference_pipeline_tpu.config import DEFAULT_CONFIG, load_config
     from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
     from svc_inference_pipeline_tpu.utils.audio_io import load_audio

@@ -62,15 +62,21 @@ class WhisperPPGExtractor:
     @classmethod
     def random_init(cls, size_or_dims="tiny", seed: int = 0, **kw) -> "WhisperPPGExtractor":
         """Random-weight extractor for smoke runs (no checkpoints ship with
-        the reference repo)."""
+        the reference repo). Init runs on the host CPU — compiling a 24-layer
+        init graph remotely on the accelerator would waste minutes."""
         dims = (
             WHISPER_SIZES[size_or_dims]
             if isinstance(size_or_dims, str)
             else size_or_dims
         )
         enc = WhisperAudioEncoder(dims)
-        params = enc.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, dims.n_mels, 3000), jnp.float32)
+        from svc_inference_pipeline_tpu.utils.devices import fast_random_params
+
+        params = fast_random_params(
+            lambda: enc.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, dims.n_mels, 3000), jnp.float32)
+            ),
+            seed=seed,
         )["params"]
         return cls(dims, params, **kw)
 

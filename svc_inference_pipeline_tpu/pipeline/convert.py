@@ -133,6 +133,8 @@ class SVCPipeline:
 
             cond_params, den_params = load_mapper_params(cfg.svc_model_path, mcfg)
         else:
+            from svc_inference_pipeline_tpu.utils.devices import fast_random_params
+
             k1, k2, key = jax.random.split(key, 3)
             t_feat = 16
             dummy = {
@@ -141,12 +143,17 @@ class SVCPipeline:
                 "loudness": jnp.zeros((1, t_feat)),
                 "singer": jnp.zeros((1, 1), jnp.int32),
             }
-            cond_params = ConditionEncoder(mcfg).init(k1, dummy)["params"]
-            den_params = DiffSVCDenoiser(mcfg).init(
-                k2,
-                jnp.zeros((1, t_feat, mcfg.n_mel)),
-                jnp.zeros((1, t_feat, mcfg.conditioner_size)),
-                jnp.zeros((1, 1), jnp.int32),
+            cond_params = fast_random_params(
+                lambda: ConditionEncoder(mcfg).init(k1, dummy), seed=seed
+            )["params"]
+            den_params = fast_random_params(
+                lambda: DiffSVCDenoiser(mcfg).init(
+                    k2,
+                    jnp.zeros((1, t_feat, mcfg.n_mel)),
+                    jnp.zeros((1, t_feat, mcfg.conditioner_size)),
+                    jnp.zeros((1, 1), jnp.int32),
+                ),
+                seed=seed + 1,
             )["params"]
 
         if not random_weights and os.path.exists(cfg.vocoder_model_path):
@@ -154,9 +161,14 @@ class SVCPipeline:
 
             voc_params = load_vocoder_params(cfg.vocoder_model_path, vcfg)
         else:
+            from svc_inference_pipeline_tpu.utils.devices import fast_random_params
+
             k3, key = jax.random.split(key)
-            voc_params = BigVGANGenerator(vcfg).init(
-                k3, jnp.zeros((1, 16, vcfg.input_dim))
+            voc_params = fast_random_params(
+                lambda: BigVGANGenerator(vcfg).init(
+                    k3, jnp.zeros((1, 16, vcfg.input_dim))
+                ),
+                seed=seed + 2,
             )["params"]
 
         return cls(cfg, cond_params, den_params, voc_params, whisper, mesh=mesh)

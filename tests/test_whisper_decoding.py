@@ -1,0 +1,96 @@
+"""Whisper decoding surface: tokenizer round-trip, greedy decode mechanics,
+language detection and sliding-window transcription on a tiny random model."""
+
+import numpy as np
+import pytest
+
+from svc_inference_pipeline_tpu.models.whisper import WhisperDims
+from svc_inference_pipeline_tpu.models.whisper_decoding import (
+    LANGUAGES,
+    DecodingOptions,
+    WhisperDecoder,
+    get_tokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    try:
+        return get_tokenizer(multilingual=True)
+    except FileNotFoundError:
+        pytest.skip("vendored tokenizer assets unavailable")
+
+
+@pytest.fixture(scope="module")
+def tiny_decoder(tokenizer):
+    import jax
+
+    from svc_inference_pipeline_tpu.models.whisper import (
+        WhisperAudioEncoder,
+        WhisperTextDecoder,
+    )
+    from svc_inference_pipeline_tpu.utils.devices import fast_random_params
+
+    dims = WhisperDims(80, 1500, 64, 4, 2, len(tokenizer.tokenizer) + 110, 448, 64, 4, 2)
+    enc = WhisperAudioEncoder(dims)
+    dec = WhisperTextDecoder(dims)
+    import jax.numpy as jnp
+
+    enc_params = fast_random_params(
+        lambda: enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 3000)))
+    )["params"]
+    dec_params = fast_random_params(
+        lambda: dec.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 3), jnp.int32),
+            jnp.zeros((1, dims.n_audio_ctx, dims.n_audio_state)),
+        )
+    )["params"]
+    return WhisperDecoder(dims, enc_params, dec_params)
+
+
+def test_tokenizer_roundtrip(tokenizer):
+    text = "hello singing world"
+    ids = tokenizer.encode(text)
+    assert tokenizer.decode(ids) == text
+
+
+def test_tokenizer_special_layout(tokenizer):
+    assert tokenizer.eot == 50257
+    assert tokenizer.sot == 50258
+    assert len(tokenizer.language_tokens) == len(LANGUAGES) == 99
+    seq = tokenizer.sot_sequence("en", "transcribe")
+    assert seq[0] == tokenizer.sot
+    assert seq[1] == tokenizer.language_tokens[0]  # en is first
+    assert seq[2] == tokenizer.transcribe_token
+
+
+def test_greedy_decode_runs(tiny_decoder, tokenizer):
+    import jax.numpy as jnp
+
+    feats = tiny_decoder.embed_audio(jnp.zeros((1, 80, 3000)))
+    result = tiny_decoder.greedy_decode(
+        feats, tokenizer, DecodingOptions(sample_len=8, language="en")
+    )
+    assert isinstance(result.text, str)
+    assert all(t < tokenizer.eot + 110 for t in result.tokens)
+    assert np.isfinite(result.avg_logprob)
+
+
+def test_detect_language_distribution(tiny_decoder, tokenizer):
+    import jax.numpy as jnp
+
+    feats = tiny_decoder.embed_audio(jnp.zeros((1, 80, 3000)))
+    lang, probs = tiny_decoder.detect_language(feats, tokenizer)
+    assert lang in LANGUAGES
+    assert abs(sum(probs.values()) - 1.0) < 1e-3
+
+
+def test_transcribe_windows(tiny_decoder, tokenizer):
+    audio = np.zeros(16000 * 35, dtype=np.float32)  # 35 s → 2 windows
+    out = tiny_decoder.transcribe(
+        audio, tokenizer, DecodingOptions(sample_len=4, language="en")
+    )
+    assert len(out["segments"]) == 2
+    assert out["segments"][0]["start"] == 0.0
+    assert out["segments"][1]["start"] == 30.0
