@@ -207,7 +207,7 @@ static int64_t gcd64(int64_t a, int64_t b) { while (b) { int64_t t = a % b; a = 
 int32_t resample_out_len(int32_t n_in, int32_t sr_in, int32_t sr_out) {
   int64_t g = gcd64(sr_in, sr_out);
   int64_t up = sr_out / g, down = sr_in / g;
-  return (int32_t)((-((-(int64_t)n_in) * up)) / down);  // ceil
+  return (int32_t)(((int64_t)n_in * up + down - 1) / down);  // ceil
 }
 
 void resample_f32(const float* x, int32_t n_in, int32_t sr_in, int32_t sr_out,

@@ -247,16 +247,22 @@ def get_f0_features(
             "is implemented natively."
         )
     hop_size = int(np.round(cfg.hop_length * speed))
-    f0 = np.asarray(
-        praat_pitch_ac(
-            jnp.asarray(audio),
-            fs=cfg.fs,
-            hop_length=hop_size,
-            f0_min=float(cfg.f0_min),
-            f0_max=float(cfg.f0_max),
-            voicing_threshold=0.6,
+    # The tracker's Viterbi is a long serial scan over tiny [K,K] matrices —
+    # latency-bound on a TPU (~0.8 s for 10 s audio) and trivial on the host
+    # CPU (~50 ms). Pitch extraction is front-end work; pin it to the host.
+    from svc_inference_pipeline_tpu.utils.devices import host_cpu
+
+    with jax.default_device(host_cpu()):
+        f0 = np.asarray(
+            praat_pitch_ac(
+                jnp.asarray(audio),
+                fs=cfg.fs,
+                hop_length=hop_size,
+                f0_min=float(cfg.f0_min),
+                f0_max=float(cfg.f0_max),
+                voicing_threshold=0.6,
+            )
         )
-    )
 
     # Pad to the mel frame grid with a centred offset (utils/f0.py:156-157).
     pad_size = (int(len(audio) // hop_size) - len(f0) + 1) // 2

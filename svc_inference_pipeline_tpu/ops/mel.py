@@ -130,12 +130,31 @@ def mel_filterbank(
 
 
 def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """Slice ``y [..., L]`` into frames ``[..., n_frames, n_fft]`` (center=False)."""
+    """Slice ``y [..., L]`` into frames ``[..., n_frames, n_fft]`` (center=False).
+
+    Implemented as ``r = ceil(n_fft/hop)`` interleaved strided reshapes
+    instead of an advanced-index gather: frame i starts at i·hop, so frames
+    with i ≡ p (mod r) sit r·hop ≥ n_fft apart and slice out of one
+    contiguous reshape — gathers of [frames, n_fft] index sets are
+    pathologically slow on TPU, reshapes are free.
+    """
     length = y.shape[-1]
     n_frames = 1 + (length - n_fft) // hop
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return y[..., idx]
+    r = -(-n_fft // hop)  # interleave factor: frames per contiguous group
+    group = r * hop
+    n_max = -(-n_frames // r)
+
+    # one zero-pad so every phase's last group is fully addressable
+    need = (r - 1) * hop + n_max * group
+    yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, need - length))])
+
+    phases = []
+    for p in range(r):
+        seg = jax.lax.slice_in_dim(yp, p * hop, p * hop + n_max * group, axis=-1)
+        phases.append(seg.reshape((*y.shape[:-1], n_max, group))[..., :n_fft])
+
+    stacked = jnp.stack(phases, axis=-2)  # [..., n_max, r, n_fft]
+    return stacked.reshape((*y.shape[:-1], n_max * r, n_fft))[..., :n_frames, :]
 
 
 def _hann(win_length: int) -> np.ndarray:

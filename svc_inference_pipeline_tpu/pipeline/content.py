@@ -44,7 +44,7 @@ class WhisperPPGExtractor:
         fs: int = 24000,
     ):
         self.dims = dims
-        self.params = params
+        self.params = jax.device_put(params)  # keep weights device-resident
         self.fs = fs
         self.encoder = WhisperAudioEncoder(dims, compute_dtype=compute_dtype)
         self._embed = jax.jit(
@@ -91,7 +91,11 @@ class WhisperPPGExtractor:
         30 s pad/trim (longer audio is truncated — the reference's
         long-context behaviour), [1500, D] encode, 480→256 remap.
         """
-        audio16 = resample(jnp.asarray(audio, dtype=jnp.float32), self.fs, 16000)
+        from svc_inference_pipeline_tpu.ops.resample import resample_host
+
+        # audio arrives host-resident; resample on host (native C++ path) —
+        # C=1 convolutions waste 127/128 TPU lanes
+        audio16 = jnp.asarray(resample_host(np.asarray(audio), self.fs, 16000))
         audio16 = pad_or_trim(audio16)
         mel = log_mel_spectrogram(audio16)  # [80, 3000]
         feats = self.embed_audio(mel[None])[0]  # [1500, D]
@@ -110,7 +114,7 @@ class ContentVecExtractor:
 
         self.cfg = cfg or HubertConfig()
         self.model = HubertModel(self.cfg)
-        self.params = params
+        self.params = jax.device_put(params)
         self.fs = fs
         self.output_layer = output_layer
         self._extract = jax.jit(
@@ -143,7 +147,8 @@ class ContentVecExtractor:
     def extract(self, audio: np.ndarray, mel_len: int) -> np.ndarray:
         """Waveform @ self.fs → [mel_len, 256] (utils/hubert.py:138-143)."""
         from svc_inference_pipeline_tpu.ops.remap import remap_features_tolerant
+        from svc_inference_pipeline_tpu.ops.resample import resample_host
 
-        audio16 = resample(jnp.asarray(audio, dtype=jnp.float32), self.fs, 16000)
+        audio16 = jnp.asarray(resample_host(np.asarray(audio), self.fs, 16000))
         feats = self._extract(self.params, audio16[None])[0]  # [S, 256]
         return remap_features_tolerant(np.asarray(feats, dtype=np.float32), mel_len)

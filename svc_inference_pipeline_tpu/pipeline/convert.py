@@ -73,9 +73,12 @@ class SVCPipeline:
         self.cfg = cfg
         self.bucket = bucket
         self.mesh = mesh
-        self.cond_params = cond_params
-        self.denoiser_params = denoiser_params
-        self.vocoder_params = vocoder_params
+        # pin params on device once — passing host (numpy) pytrees into jit
+        # re-uploads every weight on every call (≈1.2 GB/conversion at full
+        # scale over the TPU tunnel)
+        self.cond_params = jax.device_put(cond_params)
+        self.denoiser_params = jax.device_put(denoiser_params)
+        self.vocoder_params = jax.device_put(vocoder_params)
         self.whisper = whisper
 
         compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32

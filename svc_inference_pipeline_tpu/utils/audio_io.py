@@ -165,9 +165,9 @@ def load_audio(
         return np.zeros((0,), dtype=np.float32), sample_rate or fs or 48000
 
     if fs is not None and fs != sample_rate:
-        from svc_inference_pipeline_tpu.ops.resample import resample
+        from svc_inference_pipeline_tpu.ops.resample import resample_host
 
-        audio = np.asarray(resample(audio, sample_rate, fs, quality=resampler))
+        audio = resample_host(audio, sample_rate, fs, quality=resampler)
         sample_rate = fs
 
     return audio, sample_rate
