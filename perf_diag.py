@@ -10,11 +10,19 @@ import numpy as np
 
 
 def timed(name, fn, n=3):
-    fn()  # warm
+    import numpy as _np
+
+    def run():
+        out = fn()
+        if hasattr(out, "sum"):
+            float(_np.asarray(out).sum())
+        return out
+
+    run()  # warm
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        fn()
+        run()
         ts.append(time.perf_counter() - t0)
     print(f"{name:40s} {min(ts)*1000:10.1f} ms (min of {n})", flush=True)
     return min(ts)

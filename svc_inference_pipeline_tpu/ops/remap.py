@@ -80,6 +80,25 @@ def remap_features_tolerant(
     return down[:target_len].astype(raw_feats.dtype)
 
 
+def remap_features_device(raw_feats, target_len: int,
+                          source_hop: int = 480, target_hop: int = 256):
+    """jnp version of :func:`remap_features` (fast path) for use inside jit.
+
+    ``target_len`` must already be capped by the caller; shapes are static.
+    """
+    import jax.numpy as jnp
+
+    g = math.gcd(source_hop, target_hop)
+    src, tgt = source_hop // g, target_hop // g
+    width = raw_feats.shape[-1]
+    source_len = target_len * tgt // src + 1
+    raw = raw_feats[:source_len]
+    const = source_len * src // tgt * tgt
+    up = jnp.repeat(raw, src, axis=0)
+    down = up[:const].reshape(-1, tgt, width).mean(axis=1)
+    return down[:target_len]
+
+
 def repeat_expand_2d(content: np.ndarray, target_len: int) -> np.ndarray:
     """Nearest-neighbour length expansion [D, S] → [D, target_len]
     (utils/hubert.py:62-80 semantics, vectorised)."""

@@ -84,22 +84,32 @@ class WhisperPPGExtractor:
         """[B, 80, 3000] → [B, 1500, D] (whisper_extractor/model.py:217)."""
         return self._embed(self.params, mel)
 
-    def extract(self, audio: np.ndarray, mel_len: int) -> np.ndarray:
-        """Waveform @ self.fs → [min(mel_len, 2812), D] mel-rate PPG.
+    def extract(self, audio: np.ndarray, mel_len: int, chunked: bool = True) -> np.ndarray:
+        """Waveform @ self.fs → mel-rate PPG [T', D].
 
-        Mirrors whisper_feature_extractor (utils/whisper.py:96-103):
-        30 s pad/trim (longer audio is truncated — the reference's
-        long-context behaviour), [1500, D] encode, 480→256 remap.
+        ≤30 s: exactly whisper_feature_extractor (utils/whisper.py:96-103) —
+        pad/trim, [1500, D] encode, 480→256 remap. Longer audio: the
+        reference silently TRUNCATES to 30 s (whisper_extractor/audio.py:
+        52-73, utils/whisper.py:52-56); with ``chunked=True`` (default) the
+        clip is encoded in batched 30 s windows instead, so conversion
+        covers the full clip (capability beyond the reference).
         """
         from svc_inference_pipeline_tpu.ops.resample import resample_host
 
         # audio arrives host-resident; resample on host (native C++ path) —
         # C=1 convolutions waste 127/128 TPU lanes
-        audio16 = jnp.asarray(resample_host(np.asarray(audio), self.fs, 16000))
-        audio16 = pad_or_trim(audio16)
-        mel = log_mel_spectrogram(audio16)  # [80, 3000]
-        feats = self.embed_audio(mel[None])[0]  # [1500, D]
-        return remap_features(np.asarray(feats, dtype=np.float32), mel_len)
+        audio16 = np.asarray(resample_host(np.asarray(audio), self.fs, 16000))
+        n_windows = max(1, -(-len(audio16) // N_SAMPLES)) if chunked else 1
+        windows = np.zeros((n_windows, N_SAMPLES), dtype=np.float32)
+        for w in range(n_windows):
+            seg = audio16[w * N_SAMPLES : (w + 1) * N_SAMPLES]
+            windows[w, : len(seg)] = seg
+        mel = log_mel_spectrogram(jnp.asarray(windows))  # [W, 80, 3000]
+        feats = self.embed_audio(mel)  # [W, 1500, D]
+        feats = np.asarray(feats, dtype=np.float32).reshape(-1, feats.shape[-1])
+        return remap_features(
+            feats, mel_len, max_source_len=feats.shape[0]
+        )
 
 
 class ContentVecExtractor:

@@ -216,40 +216,81 @@ class SVCPipeline:
     # Public API
     # ------------------------------------------------------------------
 
+    def mel_frame_count(self, n_samples: int) -> int:
+        """Frame count of the mel front-end, analytically (no device sync)."""
+        cfg = self.cfg
+        padded_len = n_samples + 2 * int((cfg.n_fft - cfg.hop_length) / 2)
+        return 1 + (padded_len - cfg.n_fft) // cfg.hop_length
+
+    @partial(jax.jit, static_argnames=("self", "n_frames", "padded"))
+    def _frontend_device(self, whisper_params, audio24: jnp.ndarray,
+                         audio16: jnp.ndarray, n_frames: int, padded: int):
+        """Device half of the front-end as ONE jit: mel energy + whisper
+        log-mel + encoder (batched over 30 s windows for long audio) +
+        480→256 remap + bucket padding. The host half (F0) runs concurrently
+        with this dispatch. ``whisper_params`` is an explicit argument —
+        closing over it would bake ~300M weights into the executable as
+        constants. ``audio16`` arrives as [n_windows, 480000]."""
+        from svc_inference_pipeline_tpu.ops.remap import remap_features_device
+        from svc_inference_pipeline_tpu.ops.whisper_mel import log_mel_spectrogram
+
+        _, energy = extract_mel_features(audio24, self.cfg)
+        wmel = log_mel_spectrogram(audio16)  # [W, 80, 3000]
+        feats = self.whisper.encoder.apply({"params": whisper_params}, wmel)
+        feats = feats.reshape(-1, feats.shape[-1])  # [W*1500, D]
+        content = remap_features_device(feats.astype(jnp.float32), n_frames)
+
+        energy = jnp.pad(energy[:n_frames], (0, padded - n_frames))
+        content = jnp.pad(content, [(0, padded - n_frames), (0, 0)])
+        return energy[None], content[None]
+
     def extract_features(self, wav: Union[str, np.ndarray], singer_name: str):
-        """Front-end: (batch dict padded to bucket, true frame count)."""
+        """Front-end: (batch dict padded to bucket, true frame count).
+
+        Device work (mel energy, whisper encode, remap) is dispatched first
+        and runs while the host computes F0 — the two halves overlap.
+        """
         cfg = self.cfg
         if isinstance(wav, str):
             audio, _ = load_audio(wav, cfg.fs)
         else:
             audio = np.asarray(wav, dtype=np.float32)
 
-        mel, energy = extract_mel_features(jnp.asarray(audio), cfg)
-        mel = np.asarray(mel)
-        energy = np.asarray(energy)
-        n_frames = mel.shape[-1]
+        from svc_inference_pipeline_tpu.ops.resample import resample_host
+        from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES
 
-        f0, _ = get_f0_features(audio, n_frames, cfg)
-        f0 = pitch_shift(f0, cfg)
+        audio16 = resample_host(audio, cfg.fs, 16000)
+        # the reference truncates content at 30 s (utils/whisper.py:52-56);
+        # here long clips encode in batched 30 s whisper windows instead
+        n_windows = max(1, -(-len(audio16) // N_SAMPLES))
+        windows = np.zeros((n_windows, N_SAMPLES), dtype=np.float32)
+        for w in range(n_windows):
+            seg = audio16[w * N_SAMPLES : (w + 1) * N_SAMPLES]
+            windows[w, : len(seg)] = seg
 
-        whisper_feats = self.whisper.extract(audio, n_frames)
-        # whisper features are capped at 2812 frames (30 s) — truncate the
-        # rest of the batch to match (reference behaviour, whisper.py:52-56)
-        n_frames = min(n_frames, whisper_feats.shape[0])
-
-        singer = get_singer_id(cfg, singer_name)
-
+        mel_len = self.mel_frame_count(len(audio))
+        n_frames = min(mel_len, n_windows * 1500 * 15 // 8)
         padded = pad_to_bucket(n_frames, self.bucket)
 
-        def pad_t(x, value=0.0):
-            pad = [(0, padded - n_frames)] + [(0, 0)] * (x.ndim - 1)
-            return np.pad(x[:n_frames], pad, constant_values=value)
+        energy, content = self._frontend_device(  # async dispatch
+            self.whisper.params,
+            jnp.asarray(audio),
+            jnp.asarray(windows),
+            n_frames=n_frames,
+            padded=padded,
+        )
 
+        # host F0 runs while the device computes the whisper chain
+        f0, _ = get_f0_features(audio, n_frames, cfg)
+        f0 = pitch_shift(f0, cfg)
+        f0 = np.pad(f0[:n_frames], (0, padded - n_frames)).astype(np.float32)
+
+        singer = get_singer_id(cfg, singer_name)
         batch = {
-            "content_whisper": pad_t(whisper_feats.astype(np.float32))[None],
-            "melody": pad_t(f0.astype(np.float32))[None],
-            "loudness": pad_t(energy.astype(np.float32))[None],
-            "singer": singer[None].astype(np.int32),
+            "content_whisper": content,
+            "melody": jnp.asarray(f0)[None],
+            "loudness": energy,
+            "singer": jnp.asarray(singer[None].astype(np.int32)),
         }
         return batch, n_frames
 
