@@ -296,6 +296,48 @@ def f0_to_coarse(f0: np.ndarray, pitch_bin: int, pitch_min: float, pitch_max: fl
     return coarse
 
 
+def get_log_f0(f0: np.ndarray) -> np.ndarray:
+    """log-F0 with unvoiced frames mapped to log(1)=0 (utils/f0.py:86-89)."""
+    f0 = np.array(f0, dtype=np.float64)
+    f0[f0 == 0] = 1.0
+    return np.log(f0)
+
+
+def _unavailable(name: str, dep: str):
+    raise NotImplementedError(
+        f"F0 backend {name!r} requires {dep}, which is not available in this "
+        "environment. These extractors are dead code on the reference's live "
+        "path (utils/f0.py:95-117,164-264); the Praat-AC contract is "
+        "implemented natively as praat_pitch_ac/get_f0_features."
+    )
+
+
+def get_f0_features_using_pyin(audio, fs, win_length, hop_length, f0_min, f0_max):
+    """librosa.pyin backend (reference utils/f0.py:95-117) — unavailable."""
+    _unavailable("pyin", "librosa")
+
+
+def get_f0_features_using_dio(audio, mel_len, fs, hop_length, f0_min, f0_max):
+    """pyworld DIO+stonemask backend (utils/f0.py:164-188) — unavailable."""
+    _unavailable("dio", "pyworld")
+
+
+def get_f0_features_using_harvest(audio, mel_len, fs, hop_length, f0_min, f0_max):
+    """pyworld harvest backend (utils/f0.py:191-211) — unavailable."""
+    _unavailable("harvest", "pyworld")
+
+
+def get_f0_features_using_crepe(audio, mel_len, fs, hop_length, hop_length_new,
+                                f0_min, f0_max, threshold=0.3):
+    """torchcrepe backend (utils/f0.py:214-264) — unavailable."""
+    _unavailable("crepe", "torchcrepe")
+
+
+def get_f0_features_using_parselmouth(audio, mel_len, cfg, speed=1):
+    """Reference-named alias for the live path (utils/f0.py:120-161)."""
+    return get_f0_features(np.asarray(audio), mel_len, cfg, speed=speed)
+
+
 def interpolate_unvoiced(f0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Linearly interpolate across unvoiced gaps; returns (f0, uv mask).
 

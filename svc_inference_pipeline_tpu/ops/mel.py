@@ -221,6 +221,52 @@ def mel_spectrogram(
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+class STFT:
+    """Keyshift/speed-aware mel extractor (reference utils/mel.py:43-122).
+
+    Unused by the live inference path (SURVEY §2.3) but part of the API
+    surface: ``keyshift`` scales n_fft/win/hop by 2^(keyshift/12) and
+    rescales the spectrum back onto the nominal frequency grid; ``speed``
+    scales the hop. The reference version has a latent bug (bare ``F.pad``
+    without an import, utils/mel.py:110) — fixed here.
+    """
+
+    def __init__(self, fs, n_mels, n_fft, win_length, hop_length, fmin, fmax, clip_val=1e-5):
+        self.fs, self.n_mels, self.n_fft = fs, n_mels, n_fft
+        self.win_length, self.hop_length = win_length, hop_length
+        self.fmin, self.fmax, self.clip_val = fmin, fmax, clip_val
+
+    def get_mel(self, y: jnp.ndarray, keyshift: float = 0, speed: float = 1) -> jnp.ndarray:
+        factor = 2 ** (keyshift / 12)
+        n_fft_new = int(np.round(self.n_fft * factor))
+        win_new = int(np.round(self.win_length * factor))
+        hop_new = int(np.round(self.hop_length * speed))
+
+        pad = ((win_new - hop_new) // 2, (win_new - hop_new + 1) // 2)
+        mag = stft_magnitude(
+            y, n_fft=n_fft_new, hop=hop_new, win_length=win_new,
+            pad=pad, pad_mode="reflect",
+        )  # [..., F', T]
+        if keyshift != 0:
+            size = self.n_fft // 2 + 1
+            cur = mag.shape[-2]
+            if cur < size:
+                mag = jnp.pad(mag, [(0, 0)] * (mag.ndim - 2) + [(0, size - cur), (0, 0)])
+            mag = mag[..., :size, :] * (self.win_length / win_new)
+
+        basis = jnp.asarray(
+            mel_filterbank(self.fs, self.n_fft, self.n_mels, float(self.fmin), float(self.fmax))
+        )
+        mel = jnp.einsum("mf,...ft->...mt", basis, mag, precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(jnp.clip(mel, min=self.clip_val))
+
+    def __call__(self, wave_file: str) -> jnp.ndarray:
+        from svc_inference_pipeline_tpu.utils.audio_io import load_audio
+
+        audio, _ = load_audio(wave_file, self.fs)
+        return self.get_mel(jnp.asarray(audio)[None])[0]
+
+
 def extract_mel_features(audio: jnp.ndarray, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(log-mel [n_mels, T], energy [T]) of a mono waveform at cfg.fs.
 
@@ -238,3 +284,20 @@ def extract_mel_features(audio: jnp.ndarray, cfg) -> Tuple[jnp.ndarray, jnp.ndar
     )
     energy = jnp.sqrt(jnp.sum(jnp.exp(mel) ** 2, axis=-2))
     return mel, energy
+
+
+def acoustic_feature_extractor(wav_file: str, cfg):
+    """(mel [T, n_mels], f0 [T], energy [T]) from a wav path.
+
+    The reference facade (utils/acoustic_feature_extraction.py:57-63,
+    spelled "acoutic_feature_extractor" there) — it also computes a
+    normalised mel and discards it; here only the used outputs exist.
+    """
+    from svc_inference_pipeline_tpu.ops.f0 import get_f0_features
+    from svc_inference_pipeline_tpu.utils.audio_io import load_audio
+
+    audio, _ = load_audio(wav_file, cfg.fs)
+    mel, energy = extract_mel_features(jnp.asarray(audio), cfg)
+    mel = np.asarray(mel)
+    f0, _ = get_f0_features(np.asarray(audio), mel.shape[-1], cfg)
+    return mel.T, f0, np.asarray(energy)

@@ -82,9 +82,13 @@ class SVCPipeline:
         self.whisper = whisper
 
         compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
+        # fused Pallas Activation1d on real TPU; XLA composition elsewhere
+        use_pallas = cfg.get("use_pallas_vocoder", jax.default_backend() == "tpu")
         self.cond_encoder = ConditionEncoder(cfg.mapper)
         self.denoiser = DiffSVCDenoiser(cfg.mapper, compute_dtype=compute_dtype)
-        self.vocoder = BigVGANGenerator(cfg.vocoder, compute_dtype=compute_dtype)
+        self.vocoder = BigVGANGenerator(
+            cfg.vocoder, compute_dtype=compute_dtype, use_pallas=use_pallas
+        )
         self.schedule = DiffusionSchedule.from_config(cfg.mapper)
 
         mel_min, mel_max = load_mel_min_max(cfg.min_mel_file, cfg.max_mel_file)
@@ -222,20 +226,28 @@ class SVCPipeline:
         padded_len = n_samples + 2 * int((cfg.n_fft - cfg.hop_length) / 2)
         return 1 + (padded_len - cfg.n_fft) // cfg.hop_length
 
-    @partial(jax.jit, static_argnames=("self", "n_frames", "padded"))
+    @partial(jax.jit, static_argnames=("self", "n_windows", "n_frames", "padded"))
     def _frontend_device(self, whisper_params, audio24: jnp.ndarray,
-                         audio16: jnp.ndarray, n_frames: int, padded: int):
-        """Device half of the front-end as ONE jit: mel energy + whisper
-        log-mel + encoder (batched over 30 s windows for long audio) +
-        480→256 remap + bucket padding. The host half (F0) runs concurrently
-        with this dispatch. ``whisper_params`` is an explicit argument —
-        closing over it would bake ~300M weights into the executable as
-        constants. ``audio16`` arrives as [n_windows, 480000]."""
+                         n_windows: int, n_frames: int, padded: int):
+        """Device half of the front-end as ONE jit: 24→16 kHz resample +
+        mel energy + whisper log-mel + encoder (batched over 30 s windows
+        for long audio) + 480→256 remap + bucket padding. The host half
+        (F0) runs concurrently with this dispatch. ``whisper_params`` is an
+        explicit argument — closing over it would bake ~300M weights into
+        the executable as constants. Only the 24 kHz waveform is uploaded
+        (the tunnel moves ~37 MB/s; every avoided transfer is ~30 ms)."""
         from svc_inference_pipeline_tpu.ops.remap import remap_features_device
-        from svc_inference_pipeline_tpu.ops.whisper_mel import log_mel_spectrogram
+        from svc_inference_pipeline_tpu.ops.resample import _resample_conv
+        from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES, log_mel_spectrogram
 
         _, energy = extract_mel_features(audio24, self.cfg)
-        wmel = log_mel_spectrogram(audio16)  # [W, 80, 3000]
+
+        audio16 = _resample_conv(audio24, self.cfg.fs, 16000, "kaiser_best")
+        total = n_windows * N_SAMPLES
+        audio16 = jnp.pad(audio16, (0, total - audio16.shape[-1]))
+        windows = audio16.reshape(n_windows, N_SAMPLES)
+
+        wmel = log_mel_spectrogram(windows)  # [W, 80, 3000]
         feats = self.whisper.encoder.apply({"params": whisper_params}, wmel)
         feats = feats.reshape(-1, feats.shape[-1])  # [W*1500, D]
         content = remap_features_device(feats.astype(jnp.float32), n_frames)
@@ -256,17 +268,13 @@ class SVCPipeline:
         else:
             audio = np.asarray(wav, dtype=np.float32)
 
-        from svc_inference_pipeline_tpu.ops.resample import resample_host
+        from svc_inference_pipeline_tpu.ops.resample import _out_len
         from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES
 
-        audio16 = resample_host(audio, cfg.fs, 16000)
         # the reference truncates content at 30 s (utils/whisper.py:52-56);
         # here long clips encode in batched 30 s whisper windows instead
-        n_windows = max(1, -(-len(audio16) // N_SAMPLES))
-        windows = np.zeros((n_windows, N_SAMPLES), dtype=np.float32)
-        for w in range(n_windows):
-            seg = audio16[w * N_SAMPLES : (w + 1) * N_SAMPLES]
-            windows[w, : len(seg)] = seg
+        len16 = _out_len(len(audio), 2, 3)  # 24 kHz → 16 kHz length
+        n_windows = max(1, -(-len16 // N_SAMPLES))
 
         mel_len = self.mel_frame_count(len(audio))
         n_frames = min(mel_len, n_windows * 1500 * 15 // 8)
@@ -275,7 +283,7 @@ class SVCPipeline:
         energy, content = self._frontend_device(  # async dispatch
             self.whisper.params,
             jnp.asarray(audio),
-            jnp.asarray(windows),
+            n_windows=n_windows,
             n_frames=n_frames,
             padded=padded,
         )
