@@ -216,6 +216,74 @@ class WhisperDecoder:
             avg_logprob=float(np.mean(logprobs)) if logprobs else 0.0,
         )
 
+    def beam_decode(
+        self,
+        audio_features,
+        tokenizer: WhisperTokenizer,
+        options: DecodingOptions = DecodingOptions(),
+        beam_size: int = 5,
+        patience: float = 1.0,
+    ) -> DecodingResult:
+        """Beam search with patience (Kasai et al. 2022), matching the
+        reference's BeamSearchDecoder semantics (decoding.py:283-365):
+        keep expanding until ``beam_size × patience`` hypotheses finish,
+        rank finished candidates by sum-logprob / length."""
+        language = options.language or "en"
+        sot_seq = tokenizer.sot_sequence(language, options.task)
+        if options.without_timestamps:
+            sot_seq = sot_seq + [tokenizer.no_timestamps]
+        max_len = options.sample_len or self.dims.n_text_ctx // 2
+        max_finished = round(beam_size * patience)
+
+        beams = [(0.0, list(sot_seq))]  # (sum logprob, tokens)
+        finished: List[tuple] = []
+        cross_cache = None
+
+        for _ in range(max_len):
+            candidates = []
+            for score, toks in beams:
+                logits, cache = self._logits(
+                    np.asarray([toks], dtype=np.int32), audio_features, cache=cross_cache
+                )
+                if cross_cache is None:
+                    cross_cache = {k: v for k, v in cache.items() if k.startswith("cross_")}
+                lp = np.array(
+                    jax.nn.log_softmax(jnp.asarray(np.asarray(logits[0, -1])))
+                )
+                lp[tokenizer.eot + 1 :] = -np.inf
+                if options.suppress_blank and len(toks) == len(sot_seq):
+                    lp[tokenizer.encode(" ")] = -np.inf
+                for tok in np.argsort(lp)[::-1][: beam_size + 1]:
+                    candidates.append((score + float(lp[tok]), toks + [int(tok)]))
+
+            candidates.sort(key=lambda c: c[0], reverse=True)
+            beams = []
+            for score, toks in candidates:
+                if toks[-1] == tokenizer.eot:
+                    finished.append((score, toks))
+                    if len(finished) >= max_finished:
+                        break
+                else:
+                    beams.append((score, toks))
+                if len(beams) >= beam_size:
+                    break
+            if len(finished) >= max_finished or not beams:
+                break
+
+        if not finished:
+            finished = [max(beams, key=lambda c: c[0])]
+        # MaximumLikelihoodRanker: average logprob per token (decoding.py:169)
+        score, toks = max(
+            finished, key=lambda c: c[0] / max(len(c[1]) - len(sot_seq), 1)
+        )
+        generated = [t for t in toks[len(sot_seq) :] if t != tokenizer.eot]
+        return DecodingResult(
+            tokens=generated,
+            text=tokenizer.decode(generated),
+            language=language,
+            avg_logprob=score / max(len(generated) + 1, 1),
+        )
+
     def transcribe(
         self,
         audio_16k: np.ndarray,

@@ -148,3 +148,49 @@ def test_energy_definition():
     mel, energy = extract_mel_features(y, _C)
     expect = np.sqrt((np.exp(np.asarray(mel)) ** 2).sum(0))
     np.testing.assert_allclose(np.asarray(energy), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_stft_class_keyshift_zero_matches_reference(reference_modules):
+    """Our STFT class vs the reference's (keyshift=0 — its nonzero-keyshift
+    path has the latent F.pad bug, utils/mel.py:110)."""
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.ops.mel import STFT
+
+    rng = np.random.default_rng(5)
+    y = (0.4 * rng.standard_normal(24000)).astype(np.float32)
+
+    ref_stft = reference_modules.mel.STFT(24000, 100, 1024, 1024, 256, 0, 12000)
+    ref = ref_stft.get_mel(torch.from_numpy(y)[None]).numpy()
+
+    ours = np.asarray(STFT(24000, 100, 1024, 1024, 256, 0, 12000).get_mel(jnp.asarray(y)[None]))
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).mean() < 1e-3
+
+
+def test_stft_class_keyshift_shifts_pitch():
+    """keyshift=+12 analyses with a 2× window whose bins are re-interpreted
+    on the nominal grid — a pure tone should appear one octave HIGHER on the
+    mel axis than at keyshift=0 (that is the pitch-shift mechanism)."""
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.ops.mel import STFT
+
+    fs = 24000
+    t = np.arange(fs) / fs
+    y = np.sin(2 * np.pi * 880.0 * t).astype(np.float32)
+    stft = STFT(fs, 100, 1024, 1024, 256, 0, 12000)
+    m0 = np.asarray(stft.get_mel(jnp.asarray(y)[None]))[0]
+    m12 = np.asarray(stft.get_mel(jnp.asarray(y)[None], keyshift=12))[0]
+    peak0 = m0.mean(axis=1).argmax()
+    peak12 = m12[:, : m0.shape[1]].mean(axis=1).argmax()
+    assert peak12 > peak0
+
+
+def test_acoustic_feature_extractor_facade(test_wav, cfg):
+    from svc_inference_pipeline_tpu.ops.mel import acoustic_feature_extractor
+
+    mel, f0, energy = acoustic_feature_extractor(test_wav, cfg)
+    assert mel.shape[1] == 100  # [T, n_mels]
+    assert f0.shape == (mel.shape[0],)
+    assert energy.shape == (mel.shape[0],)
