@@ -286,6 +286,7 @@ class AMPBlock1(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
     use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -295,11 +296,11 @@ class AMPBlock1(nn.Module):
             xt = Activation1d(
                 self.channels, kind, logscale, name=f"act1_{j}", use_pallas=self.use_pallas
             )(x)
-            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv1_{j}")(xt)
+            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv1_{j}", dtype=self.dtype)(xt)
             xt = Activation1d(
                 self.channels, kind, logscale, name=f"act2_{j}", use_pallas=self.use_pallas
             )(xt)
-            xt = TorchConv1d(self.channels, self.kernel_size, 1, name=f"conv2_{j}")(xt)
+            xt = TorchConv1d(self.channels, self.kernel_size, 1, name=f"conv2_{j}", dtype=self.dtype)(xt)
             x = xt + x
         return x
 
@@ -312,6 +313,7 @@ class AMPBlock2(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
     use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -321,7 +323,7 @@ class AMPBlock2(nn.Module):
             xt = Activation1d(
                 self.channels, kind, logscale, name=f"act_{j}", use_pallas=self.use_pallas
             )(x)
-            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv_{j}")(xt)
+            xt = TorchConv1d(self.channels, self.kernel_size, d, name=f"conv_{j}", dtype=self.dtype)(xt)
             x = xt + x
         return x
 
@@ -344,13 +346,13 @@ class BigVGANGenerator(nn.Module):
         num_kernels = len(cfg.resblock_kernel_sizes)
         block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
 
-        x = TorchConv1d(cfg.upsample_initial_channel, 7, name="conv_pre")(
+        x = TorchConv1d(cfg.upsample_initial_channel, 7, name="conv_pre", dtype=dtype)(
             mel.astype(dtype)
         )
 
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            x = TorchConvTranspose1d(ch, k, u, name=f"up_{i}")(x)
+            x = TorchConvTranspose1d(ch, k, u, name=f"up_{i}", dtype=dtype)(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -362,6 +364,7 @@ class BigVGANGenerator(nn.Module):
                     tuple(rd),
                     name=f"resblock_{i}_{j}",
                     use_pallas=self.use_pallas,
+                    dtype=dtype,
                 )(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
@@ -370,7 +373,7 @@ class BigVGANGenerator(nn.Module):
             ch, cfg.activation, cfg.snake_logscale, name="activation_post",
             use_pallas=self.use_pallas,
         )(x)
-        x = TorchConv1d(1, 7, name="conv_post")(x)
+        x = TorchConv1d(1, 7, name="conv_post", dtype=dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 

@@ -74,11 +74,12 @@ class ResidualBlock(nn.Module):
     residual_channels: int
     dilation: int
     kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, step, cond):
         c = self.residual_channels
-        step_proj = nn.Dense(c, name="diffusion_projection")(step)  # [B,1,C]
+        step_proj = nn.Dense(c, name="diffusion_projection", dtype=self.dtype)(step)
         y = x + step_proj
 
         pad = self.dilation * (self.kernel_size - 1) // 2
@@ -88,14 +89,15 @@ class ResidualBlock(nn.Module):
             kernel_dilation=(self.dilation,),
             padding=[(pad, pad)],
             name="dilated_conv",
+            dtype=self.dtype,
         )(y)
-        y = y + nn.Dense(2 * c, name="conditioner_projection")(cond)
+        y = y + nn.Dense(2 * c, name="conditioner_projection", dtype=self.dtype)(cond)
         self.sow("intermediates", "noise_step_condition", y)
 
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
 
-        y = nn.Dense(2 * c, name="output_projection")(y)
+        y = nn.Dense(2 * c, name="output_projection", dtype=self.dtype)(y)
         residual, skip = jnp.split(y, 2, axis=-1)
         return (x + residual) * np.float32(1.0 / math.sqrt(2.0)), skip
 
@@ -132,6 +134,7 @@ class DiffSVCDenoiser(nn.Module):
                 dilation=2 ** (i % cfg.dilation_cycle_length),
                 kernel_size=cfg.residual_kernel_size,
                 name=f"residual_{i}",
+                dtype=dtype,
             )(x, step, cond)
             skip_sum = skip_sum + skip.astype(jnp.float32)
 

@@ -79,23 +79,28 @@ def _make_kernel(t_tile: int, even_up, odd_up, down_even, down_odd):
             alpha = alpha_ref[0]  # [1, LANE]
             inv_beta = inv_beta_ref[0]
 
-            even = tile[2 : 2 + n_phase, :] * even_up[0]
-            odd = tile[3 : 3 + n_phase, :] * odd_up[0]
+            # filter + activation in f32 — Mosaic has no bf16 sin lowering,
+            # and the periodic activation wants the precision anyway
+            tile32 = tile.astype(jnp.float32)
+            even = tile32[2 : 2 + n_phase, :] * even_up[0]
+            odd = tile32[3 : 3 + n_phase, :] * odd_up[0]
             for m in range(1, 6):
-                even = even + tile[m + 2 : m + 2 + n_phase, :] * even_up[m]
-                odd = odd + tile[m + 3 : m + 3 + n_phase, :] * odd_up[m]
+                even = even + tile32[m + 2 : m + 2 + n_phase, :] * even_up[m]
+                odd = odd + tile32[m + 3 : m + 3 + n_phase, :] * odd_up[m]
 
             # ×2 transposed-conv gain, then the periodic activation
             even = 2.0 * even
             odd = 2.0 * odd
-            even = even + inv_beta * jnp.square(jnp.sin(even * alpha))
-            odd = odd + inv_beta * jnp.square(jnp.sin(odd * alpha))
+            alpha32 = alpha.astype(jnp.float32)
+            inv_beta32 = inv_beta.astype(jnp.float32)
+            even = even + inv_beta32 * jnp.square(jnp.sin(even * alpha32))
+            odd = odd + inv_beta32 * jnp.square(jnp.sin(odd * alpha32))
 
             out = odd[0:t_tile, :] * down_odd[0] + even[1 : 1 + t_tile, :] * down_even[0]
             for m in range(1, 6):
                 out = out + odd[m : m + t_tile, :] * down_odd[m]
                 out = out + even[m + 1 : m + 1 + t_tile, :] * down_even[m]
-            out_ref[0] = out
+            out_ref[0] = out.astype(out_ref.dtype)
 
         pl.run_scoped(
             body,
@@ -200,7 +205,7 @@ def fused_activation1d(
         return _bg.downsample1d(y, 2, 12)
 
     edge = min(16, x.shape[1])
-    head = _exact(x[:, :edge, :])[:, :3, :]
-    tail = _exact(x[:, -edge:, :])[:, -3:, :]
+    head = _exact(x[:, :edge, :])[:, :3, :].astype(out.dtype)
+    tail = _exact(x[:, -edge:, :])[:, -3:, :].astype(out.dtype)
     out = out.at[:, :3, :].set(head).at[:, -3:, :].set(tail)
     return out

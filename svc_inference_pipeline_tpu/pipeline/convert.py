@@ -204,6 +204,12 @@ class SVCPipeline:
             mel_norm = plms_sample(
                 denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
             )
+        elif self.sampler == "ddim":
+            from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
+
+            mel_norm = ddim_sample(
+                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+            )
         else:
             mel_norm = ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
 

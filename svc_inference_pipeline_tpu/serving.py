@@ -1,0 +1,155 @@
+"""Minimal production serving endpoint.
+
+The reference is a one-shot script; this framework targets deployment, so a
+small HTTP server wraps the pipeline:
+
+    python -m svc_inference_pipeline_tpu.serving --port 8787 --random-weights
+
+    POST /convert?singer=svcc_CDF1   (body: WAV bytes) → WAV bytes
+    GET  /healthz                    → {"status": "ok", ...}
+    GET  /singers                    → name → id map
+    GET  /metrics                    → observability JSON
+
+Single-threaded on purpose: one TPU, one pipeline — requests queue at the
+socket; conversion latency is the service time. Batched serving rides
+``SVCPipeline.convert_batch`` (future: request coalescing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class SVCServer:
+    def __init__(self, pipeline, cfg):
+        self.pipeline = pipeline
+        self.cfg = cfg
+        self.started = time.time()
+        self.conversions = 0
+        self.lock = threading.Lock()
+
+    def convert_bytes(self, wav_bytes: bytes, singer: str) -> bytes:
+        from svc_inference_pipeline_tpu.utils.audio_io import load_audio, save_audio
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav_bytes)
+            f.flush()
+            audio, _ = load_audio(f.name, self.cfg.fs)
+        with self.lock:
+            wave = self.pipeline.convert(np.asarray(audio), singer)
+            self.conversions += 1
+        with tempfile.NamedTemporaryFile(suffix=".wav") as out:
+            save_audio(out.name, wave, self.cfg.fs)
+            out.seek(0)
+            return open(out.name, "rb").read()
+
+    def handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route through our logger
+                from svc_inference_pipeline_tpu.utils.observability import get_logger
+
+                get_logger("svc_tpu.serving").info(fmt, *args)
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._json(200, {
+                        "status": "ok",
+                        "uptime_s": round(time.time() - server.started, 1),
+                        "conversions": server.conversions,
+                    })
+                elif path == "/singers":
+                    from svc_inference_pipeline_tpu.utils.registry import load_singer_lut
+
+                    self._json(200, load_singer_lut(server.cfg.singer_file))
+                elif path == "/metrics":
+                    from svc_inference_pipeline_tpu.utils.observability import Metrics
+
+                    self._json(200, Metrics.default().summary())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                if parsed.path != "/convert":
+                    self._json(404, {"error": "not found"})
+                    return
+                query = parse_qs(parsed.query)
+                singer = query.get("singer", [None])[0]
+                if not singer:
+                    self._json(400, {"error": "missing ?singer="})
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body (expected WAV bytes)"})
+                    return
+                body = self.rfile.read(length)
+                try:
+                    out = server.convert_bytes(body, singer)
+                except KeyError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+        return Handler
+
+
+def serve(cfg, pipeline, host: str = "127.0.0.1", port: int = 8787) -> HTTPServer:
+    server = SVCServer(pipeline, cfg)
+    httpd = HTTPServer((host, port), server.handler_class())
+    httpd.svc = server  # for tests
+    return httpd
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="svc-serve")
+    p.add_argument("--config", default="./config/config.json")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--whisper-size", default="tiny")
+    args = p.parse_args(argv)
+
+    from svc_inference_pipeline_tpu.config import load_config
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+
+    cfg = load_config(args.config)
+    pipeline = SVCPipeline.from_config(
+        cfg, random_weights=args.random_weights, whisper_size=args.whisper_size
+    )
+    httpd = serve(cfg, pipeline, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

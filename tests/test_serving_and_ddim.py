@@ -1,0 +1,126 @@
+"""DDIM sampler numerics + HTTP serving endpoint end-to-end."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
+from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+T_STEPS = 50
+SHAPE = (1, 8, 4)
+
+
+def _denoiser(scale=0.3):
+    def fn(x, cond, t):
+        return scale * x
+
+    return fn
+
+
+def test_ddim_matches_numpy_oracle():
+    sched = DiffusionSchedule.from_betas(np.linspace(1e-4, 0.02, T_STEPS))
+    cond = jnp.zeros((1, 8, 4))
+    key = jax.random.PRNGKey(0)
+    speedup = 5
+    fn = _denoiser()
+
+    ours = np.asarray(ddim_sample(fn, cond, key, SHAPE, sched, speedup=speedup, eta=0.0))
+
+    a_cum = np.cumprod(1 - np.linspace(1e-4, 0.02, T_STEPS))
+    _, init_key = jax.random.split(key)
+    x = np.asarray((1 / 1.2) * jax.random.normal(init_key, SHAPE, dtype=jnp.float32))
+    for t in list(range(0, T_STEPS, speedup))[::-1]:
+        tp = max(t - speedup, 0)
+        eps = 0.3 * x
+        a_t = a_cum[t]
+        a_prev = 1.0 if t == 0 else a_cum[tp]
+        x0 = np.clip((x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t), -1, 1)
+        x = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+
+    np.testing.assert_allclose(ours, x, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_deterministic_at_eta0():
+    sched = DiffusionSchedule.from_betas(np.linspace(1e-4, 0.02, T_STEPS))
+    cond = jnp.zeros((1, 8, 4))
+    fn = _denoiser()
+    a = np.asarray(ddim_sample(fn, cond, jax.random.PRNGKey(1), SHAPE, sched, eta=0.0))
+    b = np.asarray(ddim_sample(fn, cond, jax.random.PRNGKey(2), SHAPE, sched, eta=0.0))
+    # eta=0: only the INIT noise differs; with same init key they'd be equal.
+    # Verify stochasticity enters only via init: same key → identical.
+    c = np.asarray(ddim_sample(fn, cond, jax.random.PRNGKey(1), SHAPE, sched, eta=0.0))
+    np.testing.assert_array_equal(a, c)
+    assert np.abs(a - b).max() > 0
+
+
+@pytest.fixture(scope="module")
+def http_server(cfg):
+    from svc_inference_pipeline_tpu.config import HParams
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+    from svc_inference_pipeline_tpu.serving import serve
+
+    d = cfg.to_dict()
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    d["mapper"]["residual_layer_num"] = 2
+    d["mapper"]["sampler"] = "plms"
+    d["vocoder"]["upsample_initial_channel"] = 128
+    small = HParams(**d)
+
+    pipe = SVCPipeline.from_config(small, random_weights=True, whisper_size="tiny")
+    httpd = serve(small, pipe, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_healthz(http_server):
+    with urllib.request.urlopen(f"{http_server}/healthz") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+
+
+def test_singers_endpoint(http_server):
+    with urllib.request.urlopen(f"{http_server}/singers") as r:
+        lut = json.loads(r.read())
+    assert lut["svcc_CDF1"] == 1
+
+
+def test_convert_endpoint(http_server, tmp_path):
+    from svc_inference_pipeline_tpu.utils.audio_io import read_wav, write_wav
+
+    fs = 24000
+    t = np.arange(fs) / fs
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = tmp_path / "in.wav"
+    write_wav(str(path), wav, fs)
+
+    req = urllib.request.Request(
+        f"{http_server}/convert?singer=svcc_CDF1",
+        data=open(path, "rb").read(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out_bytes = r.read()
+    out_path = tmp_path / "out.wav"
+    out_path.write_bytes(out_bytes)
+    audio, sr = read_wav(str(out_path))
+    assert sr == 24000
+    assert audio.shape[0] > fs  # converted audio + silence padding
+
+
+def test_convert_endpoint_errors(http_server):
+    req = urllib.request.Request(f"{http_server}/convert", data=b"x", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "singer" in json.loads(e.read())["error"]
