@@ -195,8 +195,18 @@ class SVCPipeline:
     ) -> jnp.ndarray:
         cond = self.cond_encoder.apply({"params": cond_params}, batch)
 
-        def denoise_fn(x, c, t):
-            return self.denoiser.apply({"params": denoiser_params}, x, c, t)
+        # hoisted-conditioning denoiser: the conditioner projections and the
+        # step-encoder table are computed once, not once per sampling step
+        # (~20% of scan FLOPs in the naive formulation)
+        from svc_inference_pipeline_tpu.models.diffsvc_fast import make_fast_denoise_fn
+
+        denoise_fn = make_fast_denoise_fn(
+            denoiser_params,
+            cond,
+            self.schedule.num_steps,
+            self.cfg.mapper,
+            compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+        )
 
         b = cond.shape[0]
         shape = (b, n_frames, self.cfg.mapper.n_mel)
