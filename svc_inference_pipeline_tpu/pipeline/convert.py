@@ -347,6 +347,43 @@ class SVCPipeline:
             save_audio(output_path, audio, self.cfg.fs)
         return audio
 
+    def convert_multi_singer(
+        self,
+        wav: Union[str, np.ndarray],
+        singer_names: Sequence[str],
+        key: Optional[jax.Array] = None,
+    ) -> List[np.ndarray]:
+        """One utterance → several target singers, sharing the front-end.
+
+        Features are extracted ONCE; the batch tiles over singers (the
+        reference would re-run the whole pipeline per singer).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        batch, n_frames = self.extract_features(wav, singer_names[0])
+        ids = np.concatenate(
+            [get_singer_id(self.cfg, s) for s in singer_names]
+        ).astype(np.int32)[:, None]
+        b = len(singer_names)
+        tiled = {
+            k: jnp.tile(v, (b,) + (1,) * (v.ndim - 1)) for k, v in batch.items()
+        }
+        tiled["singer"] = jnp.asarray(ids)
+
+        padded = batch["melody"].shape[1]
+        waves = np.asarray(
+            self._core(
+                self.cond_params, self.denoiser_params, self.vocoder_params,
+                tiled, key, n_frames=padded,
+            )
+        )
+        outs = []
+        for i in range(b):
+            audio = waves[i, : n_frames * self.cfg.hop_length].copy()
+            fade_len = min(20 * self.cfg.hop_length, len(audio))
+            audio[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
+            outs.append(audio)
+        return outs
+
     def convert_batch(
         self,
         wavs: Sequence[Union[str, np.ndarray]],

@@ -121,3 +121,23 @@ def test_graft_entry_single_chip():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sequence_parallel_whisper_matches_single_device():
+    """SP encoder (time-sharded, all-gathered KV) ≡ the flax encoder."""
+    from svc_inference_pipeline_tpu.models.whisper import WhisperAudioEncoder, WhisperDims
+    from svc_inference_pipeline_tpu.parallel.sp_whisper import encode_sequence_parallel
+
+    dims = WhisperDims(8, 64, 32, 4, 2, 100, 16, 32, 4, 2)  # ctx 64 = 8 shards × 8
+    enc = WhisperAudioEncoder(dims)
+    mel = np.random.default_rng(0).standard_normal((1, 8, 128)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+
+    ref = np.asarray(enc.apply({"params": params}, mel))
+
+    mesh = make_mesh(data=1, model=8)
+    out = np.asarray(
+        encode_sequence_parallel(params, dims, jnp.asarray(mel), mesh, seq_axis="model")
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)

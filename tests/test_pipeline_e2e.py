@@ -97,3 +97,12 @@ def test_golden_wav_structure(golden_wav):
     n_core = gen.shape[0] - 2 * (24000 // 20)
     # frames*hop for the 4.05 s source: 379 frames × 256 = 97,024
     assert n_core == 379 * 256
+
+
+def test_convert_multi_singer_shares_frontend(pipe, test_wav):
+    waves = pipe.convert_multi_singer(test_wav, ["svcc_CDF1", "svcc_IDM1", "svcc_IDF1"])
+    assert len(waves) == 3
+    assert all(np.isfinite(w).all() for w in waves)
+    assert len({len(w) for w in waves}) == 1
+    # singer conditioning differentiates outputs
+    assert np.abs(waves[0] - waves[1]).max() > 1e-6
