@@ -96,11 +96,25 @@ def main():
     out.block_until_ready()
     log(f"core (cond+ddpm1000+vocoder): {time.time() - t0:.3f}s")
 
+    # the supported fast path (working PLMS — the reference's own crashes)
+    pipe.sampler = "plms"
+    pipe._core = jax.jit(pipe._convert_core, static_argnames=("n_frames",))
+    pipe.convert(audio, "svcc_CDF1", key=key)  # compile
+    plms_times = []
+    for i in range(3):
+        t0 = time.time()
+        pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i))
+        plms_times.append(time.time() - t0)
+    plms_rtf = float(np.median(plms_times) / duration)
+    log(f"plms@10 e2e RTF: {plms_rtf:.4f}")
+
     print(json.dumps({
         "metric": "e2e_rtf_10s_ddpm1000",
         "value": rtf,
         "unit": "rtf",
         "vs_baseline": 0.05 / rtf,
+        "plms10_rtf_10s": plms_rtf,
+        "plms10_vs_baseline": 0.05 / plms_rtf,
     }))
 
 
