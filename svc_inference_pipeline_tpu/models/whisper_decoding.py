@@ -284,14 +284,75 @@ class WhisperDecoder:
             avg_logprob=score / max(len(generated) + 1, 1),
         )
 
+    def sample_decode(
+        self,
+        audio_features,
+        tokenizer: WhisperTokenizer,
+        options: DecodingOptions = DecodingOptions(),
+        temperature: float = 0.0,
+        key: Optional["jax.Array"] = None,
+    ) -> DecodingResult:
+        """Temperature sampling (temperature 0 ≡ greedy)."""
+        if temperature <= 0:
+            return self.greedy_decode(audio_features, tokenizer, options)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        language = options.language or "en"
+        sot_seq = tokenizer.sot_sequence(language, options.task)
+        if options.without_timestamps:
+            sot_seq = sot_seq + [tokenizer.no_timestamps]
+        max_len = options.sample_len or self.dims.n_text_ctx // 2
+
+        tokens = list(sot_seq)
+        generated: List[int] = []
+        logprobs: List[float] = []
+        cross_cache = None
+        for i in range(max_len):
+            logits, cache = self._logits(
+                np.asarray([tokens], dtype=np.int32), audio_features, cache=cross_cache
+            )
+            if cross_cache is None:
+                cross_cache = {k: v for k, v in cache.items() if k.startswith("cross_")}
+            step = np.array(np.asarray(logits[0, -1]), dtype=np.float64)
+            step[tokenizer.eot + 1 :] = -np.inf
+            if options.suppress_blank and not generated:
+                step[tokenizer.encode(" ")] = -np.inf
+            key, sub = jax.random.split(key)
+            next_tok = int(
+                jax.random.categorical(sub, jnp.asarray(step / temperature))
+            )
+            lp = float(jax.nn.log_softmax(jnp.asarray(step))[next_tok])
+            logprobs.append(lp)
+            if next_tok == tokenizer.eot:
+                break
+            generated.append(next_tok)
+            tokens.append(next_tok)
+        return DecodingResult(
+            tokens=generated,
+            text=tokenizer.decode(generated),
+            language=language,
+            avg_logprob=float(np.mean(logprobs)) if logprobs else 0.0,
+        )
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        import zlib
+
+        data = text.encode("utf-8")
+        return len(data) / max(len(zlib.compress(data)), 1)
+
     def transcribe(
         self,
         audio_16k: np.ndarray,
         tokenizer: WhisperTokenizer,
         options: DecodingOptions = DecodingOptions(),
+        temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
     ) -> dict:
-        """30 s sliding windows → concatenated segments (transcribe.py:20-253
-        shape; greedy only, no temperature fallback)."""
+        """30 s sliding windows with the reference's temperature-fallback
+        ladder (transcribe.py:103-120): escalate the temperature when the
+        decode is degenerate (compression ratio too high — repetition — or
+        average log-probability too low)."""
         from svc_inference_pipeline_tpu.ops.whisper_mel import (
             N_SAMPLES,
             log_mel_spectrogram,
@@ -304,7 +365,16 @@ class WhisperDecoder:
             chunk = audio_16k[pos : pos + N_SAMPLES]
             mel = log_mel_spectrogram(pad_or_trim(jnp.asarray(chunk)))[None]
             feats = self.embed_audio(mel)
-            result = self.greedy_decode(feats, tokenizer, options)
+
+            result = None
+            for temp in temperatures:
+                result = self.sample_decode(feats, tokenizer, options, temperature=temp)
+                degenerate = (
+                    self._compression_ratio(result.text) > compression_ratio_threshold
+                    or result.avg_logprob < logprob_threshold
+                )
+                if not degenerate:
+                    break
             segments.append(
                 dict(start=pos / 16000, end=min(pos + N_SAMPLES, len(audio_16k)) / 16000,
                      text=result.text, tokens=result.tokens)

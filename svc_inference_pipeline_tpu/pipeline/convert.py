@@ -73,10 +73,18 @@ class SVCPipeline:
         self.cfg = cfg
         self.bucket = bucket
         self.mesh = mesh
+        compute_dtype_name = cfg.get("compute_dtype", "bfloat16")
         # pin params on device once — passing host (numpy) pytrees into jit
         # re-uploads every weight on every call (≈1.2 GB/conversion at full
         # scale over the TPU tunnel)
         self.cond_params = jax.device_put(cond_params)
+        # denoiser weights are re-streamed from HBM on EVERY one of the 1000
+        # scan steps — storing them in the compute dtype halves that traffic
+        # (checkpoints keep the f32 master copy)
+        if compute_dtype_name == "bfloat16":
+            denoiser_params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=jnp.bfloat16), denoiser_params
+            )
         self.denoiser_params = jax.device_put(denoiser_params)
         self.vocoder_params = jax.device_put(vocoder_params)
         self.whisper = whisper

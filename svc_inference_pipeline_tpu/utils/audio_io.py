@@ -31,6 +31,24 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+def pack_data(data: dict, device=None) -> dict:
+    """Dict of numpy arrays → dict of leading-batch-dim device arrays.
+
+    Reference API (utils/util.py:40-46): its ``pad_sequence([x])`` on a
+    single element just adds the batch dim. Prefer
+    ``SVCPipeline.extract_features`` for real use — this exists for drop-in
+    compatibility.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for key, value in data.items():
+        arr = jnp.asarray(np.asarray(value))[None]
+        out[key] = jax.device_put(arr, device) if device is not None else arr
+    return out
+
+
 # ---------------------------------------------------------------------------
 # RIFF/WAVE codec
 # ---------------------------------------------------------------------------

@@ -94,3 +94,23 @@ def test_transcribe_windows(tiny_decoder, tokenizer):
     assert len(out["segments"]) == 2
     assert out["segments"][0]["start"] == 0.0
     assert out["segments"][1]["start"] == 30.0
+
+
+def test_transcribe_temperature_fallback(tiny_decoder, tokenizer):
+    """Degenerate (repetitive) greedy output triggers temperature escalation
+    without crashing; segments still produced."""
+    audio = np.zeros(16000 * 2, dtype=np.float32)
+    out = tiny_decoder.transcribe(
+        audio, tokenizer, DecodingOptions(sample_len=6, language="en"),
+        temperatures=(0.0, 0.5), logprob_threshold=1e9,  # force at least one fallback
+    )
+    assert len(out["segments"]) == 1
+    assert isinstance(out["text"], str)
+
+
+def test_pack_data_api():
+    from svc_inference_pipeline_tpu.utils.audio_io import pack_data
+
+    out = pack_data({"melody": np.zeros(7, np.float32), "singer": np.array([1], np.int32)})
+    assert out["melody"].shape == (1, 7)
+    assert out["singer"].shape == (1, 1)
