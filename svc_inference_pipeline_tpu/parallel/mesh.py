@@ -43,8 +43,9 @@ def make_mesh(
     if data == -1:
         assert n % model == 0, (n, model)
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    need = data * model
+    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, axis_names=tuple(axis_names))
 
 

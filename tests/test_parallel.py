@@ -141,3 +141,27 @@ def test_sequence_parallel_whisper_matches_single_device():
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_batch_data_parallel(cfg, test_wav):
+    """convert_batch with a mesh shards the batch over the data axis."""
+    from svc_inference_pipeline_tpu.config import HParams
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+
+    d = cfg.to_dict()
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    d["mapper"]["residual_layer_num"] = 2
+    d["mapper"]["sampler"] = "plms"
+    d["vocoder"]["upsample_initial_channel"] = 128
+    small = HParams(**d)
+
+    mesh = make_mesh(data=4, model=1)
+    pipe = SVCPipeline.from_config(small, random_weights=True, whisper_size="tiny", mesh=mesh)
+    wavs = [test_wav] * 4
+    singers = ["svcc_CDF1", "svcc_CDM1", "svcc_IDF1", "svcc_IDM1"]
+    with mesh:
+        waves = pipe.convert_batch(wavs, singers, key=jax.random.PRNGKey(0))
+    assert len(waves) == 4
+    assert all(np.isfinite(w).all() for w in waves)
+    # different singers → different outputs
+    assert np.abs(waves[0] - waves[1]).max() > 1e-6
