@@ -277,6 +277,52 @@ class TorchConvTranspose1d(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _ActParams(nn.Module):
+    """alpha/beta holder with Activation1d-compatible param paths."""
+
+    channels: int
+    kind: str
+    logscale: bool
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        beta = (
+            self.param("beta", init, (self.channels,))
+            if self.kind == "snakebeta"
+            else alpha
+        )
+        return alpha, beta
+
+
+class _KernelBias(nn.Module):
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (self.kernel_size, self.features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """kernel/bias holder at TorchConv1d-compatible param paths
+    (<name>/conv/{kernel [k,Cin,Cout], bias}) — the converter layout."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        return _KernelBias(self.features, self.kernel_size, name="conv")()
+
+
 class AMPBlock1(nn.Module):
     """3 × (dilated conv + plain conv), 6 anti-aliased activations
     (bigvgan.py:310-439)."""
@@ -292,7 +338,26 @@ class AMPBlock1(nn.Module):
     def __call__(self, x):
         kind = self.cfg.activation
         logscale = self.cfg.snake_logscale
+        # narrow-channel stages (C ≤ 128): the whole act→conv→act→conv→add
+        # pair runs as one fused Pallas kernel — XLA's NWC convs pad channels
+        # to 128 lanes, making these stages per-op-overhead bound
+        fuse_pair = self.use_pallas and self.channels <= 128
         for j, d in enumerate(self.dilations):
+            if fuse_pair:
+                from svc_inference_pipeline_tpu.ops.pallas.amp_pair import fused_amp_pair
+
+                c = self.channels
+                # param holders keep the exact converter paths
+                # (act1_j/alpha, conv1_j/conv/kernel, …)
+                a1, b1 = _ActParams(c, kind, logscale, name=f"act1_{j}")()
+                a2, b2 = _ActParams(c, kind, logscale, name=f"act2_{j}")()
+                w1, bias1 = _ConvParams(c, self.kernel_size, name=f"conv1_{j}")()
+                w2, bias2 = _ConvParams(c, self.kernel_size, name=f"conv2_{j}")()
+                x = fused_amp_pair(
+                    x, w1, bias1, w2, bias2, a1, b1, a2, b2,
+                    k=self.kernel_size, d=d, kind=kind, logscale=logscale,
+                )
+                continue
             xt = Activation1d(
                 self.channels, kind, logscale, name=f"act1_{j}", use_pallas=self.use_pallas
             )(x)

@@ -124,6 +124,8 @@ def _fused_impl(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or jax.default_backend() != "tpu"
+
     b, t, c = x.shape
     dtype = x.dtype
 

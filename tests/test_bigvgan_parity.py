@@ -126,3 +126,27 @@ def test_vocoder_output_postprocessing():
     assert fade[0] == pytest.approx(1.0)
     assert fade[-1] == pytest.approx(0.0)
     assert np.all(np.diff(fade) <= 1e-6)
+
+
+def test_generator_pallas_path_matches_xla(reference_modules, tiny_cfg):
+    """use_pallas=True (fused act1d + fused AMP pairs on C≤128 stages) must
+    match the plain XLA generator on converted reference weights."""
+    torch.manual_seed(4)
+    ref_gen = reference_modules.bigvgan.Generator(tiny_cfg).eval()
+    params = convert_vocoder_state_dict(ref_gen.state_dict(), tiny_cfg)
+
+    mel = np.random.default_rng(5).standard_normal((1, 10, 40)).astype(np.float32)
+    mel_nwc = mel.transpose(0, 2, 1)
+
+    xla_out = np.asarray(
+        BigVGANGenerator(tiny_cfg, use_pallas=False).apply({"params": params}, mel_nwc)
+    )
+    pallas_out = np.asarray(
+        BigVGANGenerator(tiny_cfg, use_pallas=True).apply({"params": params}, mel_nwc)
+    )
+    err = np.abs(pallas_out - xla_out).max()
+    assert err < 5e-4, f"pallas generator path diverges: {err}"
+
+    with torch.no_grad():
+        ref_wav = ref_gen(torch.from_numpy(mel)).numpy()[:, 0, :]
+    assert np.abs(pallas_out - ref_wav).max() < 5e-4
