@@ -341,7 +341,7 @@ class AMPBlock1(nn.Module):
         # narrow-channel stages (C ≤ 128): the whole act→conv→act→conv→add
         # pair runs as one fused Pallas kernel — XLA's NWC convs pad channels
         # to 128 lanes, making these stages per-op-overhead bound
-        fuse_pair = self.use_pallas and self.channels <= 128
+        fuse_pair = self.use_pallas and self.channels <= 384
         for j, d in enumerate(self.dilations):
             if fuse_pair:
                 from svc_inference_pipeline_tpu.ops.pallas.amp_pair import fused_amp_pair

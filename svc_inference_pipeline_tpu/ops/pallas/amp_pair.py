@@ -47,7 +47,7 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _make_kernel(t_tile: int, k: int, d: int, taps):
+def _make_kernel(t_tile: int, k: int, d: int, taps, c_pad: int = LANE):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -77,12 +77,13 @@ def _make_kernel(t_tile: int, k: int, d: int, taps):
         return out
 
     def conv(a, w_ref, b_ref, dil):
-        """[N + dil(k−1), 128] → [N, 128]; k shifted matmuls."""
+        """[N + dil(k−1), C] → [N, C]; k shifted matmuls (bf16 in, f32 acc)."""
         n = a.shape[0] - dil * (k - 1)
-        acc = jnp.dot(a[0:n, :], w_ref[0], preferred_element_type=jnp.float32)
+        ab = a.astype(w_ref.dtype)
+        acc = jnp.dot(ab[0:n, :], w_ref[0], preferred_element_type=jnp.float32)
         for m in range(1, k):
             acc = acc + jnp.dot(
-                a[m * dil : m * dil + n, :], w_ref[m], preferred_element_type=jnp.float32
+                ab[m * dil : m * dil + n, :], w_ref[m], preferred_element_type=jnp.float32
             )
         return acc + b_ref[0]
 
@@ -118,7 +119,7 @@ def _make_kernel(t_tile: int, k: int, d: int, taps):
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((t_tile + 2 * halo, LANE), x_hbm.dtype),
+            pltpu.VMEM((t_tile + 2 * halo, c_pad), x_hbm.dtype),
             pltpu.SemaphoreType.DMA,
         )
 
@@ -178,10 +179,13 @@ def fused_amp_pair(
     interpret = interpret or jax.default_backend() != "tpu"
 
     b, t, c = x.shape
-    assert c <= LANE, c
+    c_pad = _round_up(c, LANE)
+    assert c_pad <= 384, c  # VMEM budget: weights 2·k·C² + activation tiles
     dtype = x.dtype
+    if c_pad > LANE:
+        t_tile = min(t_tile, 512)  # keep activation tiles within VMEM
 
-    kernel, halo = _make_kernel(t_tile, k, d, _phase_taps())
+    kernel, halo = _make_kernel(t_tile, k, d, _phase_taps(), c_pad)
 
     # effective act params (exp folded for logscale), padded to 128 lanes
     def eff(al, be):
@@ -197,34 +201,42 @@ def fused_amp_pair(
     a2, ib2 = eff(alpha2, beta2)
     act_rows = jnp.stack(
         [
-            jnp.pad(v.astype(jnp.float32), (0, LANE - c), constant_values=1.0)
+            jnp.pad(v.astype(jnp.float32), (0, c_pad - c), constant_values=1.0)
             for v in (a1, ib1, a2, ib2)
         ]
-    )  # [4, 128]
+    )  # [4, c_pad]
+
+    # weights follow the input dtype: bf16 halves the VMEM footprint on the
+    # production path (matmuls still accumulate f32); f32 inputs keep exact
+    # f32 weights (parity/tests)
+    w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
     def pad_w(w):
-        return jnp.pad(w.astype(jnp.float32), [(0, 0), (0, LANE - c), (0, LANE - c)])
+        return jnp.pad(w.astype(w_dtype), [(0, 0), (0, c_pad - c), (0, c_pad - c)])
 
     def pad_b(bb):
-        return jnp.pad(bb.astype(jnp.float32), (0, LANE - c))[None, :]  # [1,128]
+        return jnp.pad(bb.astype(jnp.float32), (0, c_pad - c))[None, :]  # [1, c_pad]
 
     t_pad = -(-t // t_tile) * t_tile
-    xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, LANE - c)])
+    xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, c_pad - c)])
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, LANE), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c_pad), dtype),
         grid=(b, t_pad // t_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x (manual halo DMA)
-            pl.BlockSpec((k, LANE, LANE), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, LANE, LANE), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_pad, c_pad), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_pad, c_pad), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c_pad), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, LANE), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            (1, t_tile, c_pad), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, pad_w(w1), pad_b(b1), pad_w(w2), pad_b(b2), act_rows)
