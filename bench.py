@@ -97,8 +97,7 @@ def main():
     log(f"core (cond+ddpm1000+vocoder): {time.time() - t0:.3f}s")
 
     # the supported fast path (working PLMS — the reference's own crashes)
-    pipe.sampler = "plms"
-    pipe._core = jax.jit(pipe._convert_core, static_argnames=("n_frames",))
+    pipe.set_sampler("plms")
     pipe.convert(audio, "svcc_CDF1", key=key)  # compile
     plms_times = []
     for i in range(3):

@@ -244,6 +244,18 @@ class SVCPipeline:
     # Public API
     # ------------------------------------------------------------------
 
+    def set_sampler(self, sampler: str, speedup: Optional[int] = None) -> None:
+        """Switch the sampler ("ddpm" | "plms" | "ddim") at runtime.
+
+        Re-jits the core; previously compiled executables for other
+        samplers stay cached in the process.
+        """
+        assert sampler in ("ddpm", "plms", "ddim"), sampler
+        self.sampler = sampler
+        if speedup is not None:
+            self.plms_speedup = int(speedup)
+        self._core = jax.jit(self._convert_core, static_argnames=("n_frames",))
+
     def mel_frame_count(self, n_samples: int) -> int:
         """Frame count of the mel front-end, analytically (no device sync)."""
         cfg = self.cfg

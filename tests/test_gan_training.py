@@ -91,3 +91,37 @@ def test_gan_train_steps_run_and_learn():
     for _ in range(5):
         state, d_loss = disc_step(state, batch)
     assert float(d_loss) < d0
+
+
+def test_gan_train_steps_on_mesh():
+    """GAN steps shard over a 4-way data-parallel virtual mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from svc_inference_pipeline_tpu.parallel.mesh import make_mesh
+    from svc_inference_pipeline_tpu.training.gan import (
+        init_gan_train_state,
+        make_gan_train_steps,
+    )
+
+    mesh = make_mesh(data=4, model=1)
+    state, gopt, dopt = init_gan_train_state(TINY, jax.random.PRNGKey(0))
+    disc_step, gen_step = make_gan_train_steps(TINY, gopt, dopt, mesh=mesh)
+    state = disc_step.shard_state(state)
+
+    rng = np.random.default_rng(1)
+    t_frames = 8
+    batch = disc_step.batch_shard(
+        {
+            "mel": jnp.asarray(rng.standard_normal((4, t_frames, 20)), dtype=jnp.float32),
+            "wave": jnp.asarray(
+                0.1 * rng.standard_normal((4, t_frames * TINY.hop_length)),
+                dtype=jnp.float32,
+            ),
+        }
+    )
+    with mesh:
+        state, d_loss = disc_step(state, batch)
+        state, g_loss, aux = gen_step(state, batch)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss))

@@ -106,3 +106,17 @@ def test_convert_multi_singer_shares_frontend(pipe, test_wav):
     assert len({len(w) for w in waves}) == 1
     # singer conditioning differentiates outputs
     assert np.abs(waves[0] - waves[1]).max() > 1e-6
+
+
+def test_set_sampler_switches_paths(pipe, test_wav):
+    import jax
+
+    a = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+    pipe.set_sampler("ddim", speedup=10)
+    b = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+    pipe.set_sampler("plms", speedup=10)
+    c = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+    assert len(a) == len(b) == len(c)
+    # different sampler trajectories → different waveforms
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+    assert np.isfinite(b).all() and np.isfinite(c).all()
