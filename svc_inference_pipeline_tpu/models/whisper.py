@@ -111,10 +111,15 @@ class MultiHeadAttention(nn.Module):
     n_head: int
 
     @nn.compact
-    def __call__(self, x, xa=None, mask=None, kv: Optional[Tuple] = None):
+    def __call__(self, x, xa=None, mask=None, kv: Optional[Tuple] = None,
+                 kv_buffer: Optional[Tuple] = None, offset=0):
         """Self-attention (xa None) or cross-attention. ``kv`` is an optional
         precomputed (k, v) — the functional analogue of the reference's
-        forward-hook KV cache (model.py:75-84)."""
+        forward-hook KV cache (model.py:75-84). ``kv_buffer`` is a fixed-size
+        (k, v) pair of [B, T_max, n_state] buffers for O(1)-per-token
+        incremental decoding: the freshly computed k/v rows are written at
+        ``offset`` (a traced scalar is fine) and attention runs over the whole
+        buffer — the caller's mask hides the not-yet-written tail."""
         q = nn.Dense(self.n_state, name="query")(x)
         if kv is not None:
             k, v = kv
@@ -122,6 +127,10 @@ class MultiHeadAttention(nn.Module):
             src = x if xa is None else xa
             k = nn.Dense(self.n_state, use_bias=False, name="key")(src)
             v = nn.Dense(self.n_state, name="value")(src)
+        if kv_buffer is not None:
+            kb, vb = kv_buffer
+            k = jax.lax.dynamic_update_slice_in_dim(kb, k.astype(kb.dtype), offset, 1)
+            v = jax.lax.dynamic_update_slice_in_dim(vb, v.astype(vb.dtype), offset, 1)
         out = _attention(q, k, v, self.n_head, mask)
         return nn.Dense(self.n_state, name="out")(out), (k, v)
 
@@ -132,9 +141,11 @@ class ResidualAttentionBlock(nn.Module):
     cross_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, xa=None, mask=None, cross_kv=None, self_kv=None):
+    def __call__(self, x, xa=None, mask=None, cross_kv=None, self_kv=None,
+                 self_buffer=None, offset=0):
         h, self_kv_out = MultiHeadAttention(self.n_state, self.n_head, name="attn")(
-            _LayerNormF32(name="attn_ln")(x), mask=mask, kv=self_kv
+            _LayerNormF32(name="attn_ln")(x), mask=mask, kv=self_kv,
+            kv_buffer=self_buffer, offset=offset,
         )
         x = x + h
         cross_kv_out = None
@@ -223,20 +234,34 @@ class WhisperTextDecoder(nn.Module):
             (d.n_text_ctx, d.n_text_state),
         )
         tok_emb = nn.Embed(d.n_vocab, d.n_text_state, name="token_embedding")
-        x = tok_emb(tokens) + pos_emb[offset : offset + tokens.shape[-1]]
+        tq = tokens.shape[-1]
+        x = tok_emb(tokens) + jax.lax.dynamic_slice_in_dim(pos_emb, offset, tq, 0)
         x = x.astype(self.compute_dtype)
         xa = audio_features.astype(self.compute_dtype)
 
-        mask = jnp.triu(
-            jnp.full((d.n_text_ctx, d.n_text_ctx), -jnp.inf, dtype=jnp.float32), k=1
-        )
+        # incremental mode: ``cache`` carries fixed-size [B, T_max, d] self-KV
+        # buffers (``self_{i}``) — new rows are written at ``offset`` (traced
+        # scalar OK) and the mask hides every buffer column past the current
+        # position, so stale rows beyond it are never attended
+        incremental = cache is not None and "self_0" in cache
+        if incremental:
+            t_max = cache["self_0"][0].shape[1]
+            rows = offset + jnp.arange(tq)[:, None]
+            cols = jnp.arange(t_max)[None, :]
+            mask = jnp.where(cols <= rows, 0.0, -jnp.inf).astype(jnp.float32)
+        else:
+            mask = jnp.triu(
+                jnp.full((d.n_text_ctx, d.n_text_ctx), -jnp.inf, dtype=jnp.float32), k=1
+            )
 
         new_cache: Dict[str, Any] = {}
         for i in range(d.n_text_layer):
             cross_kv = cache.get(f"cross_{i}") if cache else None
+            self_buffer = cache.get(f"self_{i}") if incremental else None
             x, (self_kv, cross_kv_out) = ResidualAttentionBlock(
                 d.n_text_state, d.n_text_head, cross_attention=True, name=f"block_{i}"
-            )(x, xa=xa, mask=mask, cross_kv=cross_kv)
+            )(x, xa=xa, mask=mask, cross_kv=cross_kv,
+              self_buffer=self_buffer, offset=offset)
             new_cache[f"cross_{i}"] = cross_kv if cross_kv is not None else cross_kv_out
             new_cache[f"self_{i}"] = self_kv
 

@@ -76,6 +76,17 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = N_MELS) -> jnp.ndarray
     return (log_spec + 4.0) / 4.0
 
 
+def log_mel_spectrogram_frames(audio_16k: np.ndarray) -> np.ndarray:
+    """Full-clip log-mel [80, T] for sliding-window transcription.
+
+    The reference normalises (max − 8 dB) over the WHOLE clip before any
+    window slicing (transcribe.py:84-86 + audio.py:92-124); windows are then
+    cut in mel-frame space and zero-padded — this host wrapper preserves
+    that order."""
+    mel = log_mel_spectrogram(jnp.asarray(np.asarray(audio_16k, np.float32)))
+    return np.asarray(mel)
+
+
 def load_and_preprocess(audio_24k: np.ndarray, fs: int) -> jnp.ndarray:
     """Resample to 16 kHz and pad/trim to one 30 s chunk.
 
