@@ -66,16 +66,17 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
-    # warm-up (compiles every stage)
+    # warm-up (compiles every stage); pcm16: output finalised on device
+    # (peak-norm + int16 — the exact WAV payload)
     t0 = time.time()
-    wave = pipe.convert(audio, "svcc_CDF1", key=key)
-    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape}")
+    wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)
+    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape} {wave.dtype}")
 
     # timed runs
     times = []
     for i in range(3):
         t0 = time.time()
-        wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i))
+        wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True)
         times.append(time.time() - t0)
     rtf = float(np.median(times) / duration)
     log(f"e2e times: {[f'{x:.3f}' for x in times]} → RTF {rtf:.4f} ({duration:.1f}s audio)")
@@ -92,17 +93,17 @@ def main():
     padded = batch["melody"].shape[1]
     t0 = time.time()
     out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
-                     arrays, key, n_frames=padded)
+                     arrays, key, jnp.asarray([padded], jnp.int32), n_frames=padded)
     out.block_until_ready()
     log(f"core (cond+ddpm1000+vocoder): {time.time() - t0:.3f}s")
 
     # the supported fast path (working PLMS — the reference's own crashes)
     pipe.set_sampler("plms")
-    pipe.convert(audio, "svcc_CDF1", key=key)  # compile
+    pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)  # compile
     plms_times = []
     for i in range(3):
         t0 = time.time()
-        pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i))
+        pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True)
         plms_times.append(time.time() - t0)
     plms_rtf = float(np.median(plms_times) / duration)
     log(f"plms@10 e2e RTF: {plms_rtf:.4f}")

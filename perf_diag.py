@@ -89,7 +89,8 @@ def main():
     timed(
         "core (cond+ddpm1000+vocoder)",
         lambda: pipe._core(
-            pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params, arrays, key, n_frames=padded
+            pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params, arrays, key,
+            jnp.asarray([padded], jnp.int32), n_frames=padded
         ).block_until_ready(),
     )
 

@@ -323,6 +323,32 @@ class _ConvParams(nn.Module):
         return _KernelBias(self.features, self.kernel_size, name="conv")()
 
 
+class _AMPBlockParams(nn.Module):
+    """Parameter holder matching AMPBlock1's exact param tree
+    (act1_j/alpha, conv1_j/conv/kernel, …) for the stage-fused Pallas path.
+
+    Returns a tuple over pairs of (w1, b1, w2, b2, alpha1, beta1, alpha2,
+    beta2) — the layout ops/pallas/amp_stage.fused_amp_stage consumes."""
+
+    cfg: Any
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        kind = self.cfg.activation
+        logscale = self.cfg.snake_logscale
+        pairs = []
+        for j in range(len(self.dilations)):
+            a1, b1 = _ActParams(self.channels, kind, logscale, name=f"act1_{j}")()
+            a2, b2 = _ActParams(self.channels, kind, logscale, name=f"act2_{j}")()
+            w1, bias1 = _ConvParams(self.channels, self.kernel_size, name=f"conv1_{j}")()
+            w2, bias2 = _ConvParams(self.channels, self.kernel_size, name=f"conv2_{j}")()
+            pairs.append((w1, bias1, w2, bias2, a1, b1, a2, b2))
+        return tuple(pairs)
+
+
 class AMPBlock1(nn.Module):
     """3 × (dilated conv + plain conv), 6 anti-aliased activations
     (bigvgan.py:310-439)."""
@@ -418,6 +444,33 @@ class BigVGANGenerator(nn.Module):
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = TorchConvTranspose1d(ch, k, u, name=f"up_{i}", dtype=dtype)(x)
+            # narrow stages (C ≤ 128): the ENTIRE 3-block group — 18 convs,
+            # 18 snake sandwiches, residuals and the mean — runs as ONE
+            # fused Pallas kernel (ops/pallas/amp_stage.py); these stages
+            # are per-op-overhead bound, not FLOPs bound
+            fuse_stage = (
+                self.use_pallas and ch <= 128 and cfg.resblock == "1"
+            )
+            if fuse_stage:
+                from svc_inference_pipeline_tpu.ops.pallas.amp_stage import fused_amp_stage
+
+                block_params = tuple(
+                    _AMPBlockParams(cfg, ch, rk, tuple(rd), name=f"resblock_{i}_{j}")()
+                    for j, (rk, rd) in enumerate(
+                        zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+                    )
+                )
+                x = fused_amp_stage(
+                    x,
+                    block_params,
+                    ks=tuple(cfg.resblock_kernel_sizes),
+                    dils_per_block=tuple(
+                        tuple(rd) for rd in cfg.resblock_dilation_sizes
+                    ),
+                    kind=cfg.activation,
+                    logscale=cfg.snake_logscale,
+                )
+                continue
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -450,3 +503,35 @@ def vocoder_output_to_audio(wave: jnp.ndarray, n_frames: int, hop_length: int) -
     fade_len = 20 * hop_length
     fade = jnp.linspace(1.0, 0.0, fade_len)
     return wave.at[..., -fade_len:].multiply(fade)
+
+
+def vocoder_output_finalize(
+    wave: jnp.ndarray,  # [B, padded_frames*hop]
+    n_true: jnp.ndarray,  # [B] int32 — true frame count per row
+    hop_length: int,
+    pcm16: bool = False,
+    volume_peak: float = 0.9,
+) -> jnp.ndarray:
+    """Device-side output finalisation at the TRUE (unpadded) length.
+
+    Masked form of the reference's post-processing so it runs inside the
+    one jit on padded shapes: the 20-frame linear fade-out + trim-to-zero
+    (modules/bigvgan_inference.py:33-42), and optionally the WAV writer's
+    peak-normalise-to-0.9 + PCM16 quantisation (utils/util.py:20-37) — with
+    ``pcm16`` the fetched bytes are exactly the WAV payload, halving the
+    host transfer over the device↔host link.
+    """
+    fade_len = 20 * hop_length
+    idx = jnp.arange(wave.shape[-1])[None, :]
+    n_end = (n_true.astype(jnp.int32) * hop_length)[:, None]
+    j = (idx - (n_end - fade_len)).astype(jnp.float32)
+    # linspace(1, 0, L)[j] = 1 − j/(L−1); 1 before the window, 0 past the end
+    factor = jnp.clip(1.0 - j / (fade_len - 1), 0.0, 1.0)
+    factor = jnp.where(idx >= n_end, 0.0, factor)
+    wave = wave * factor
+    if not pcm16:
+        return wave
+    peak = jnp.max(jnp.abs(wave), axis=-1, keepdims=True)
+    scale = jnp.where(peak > 0, volume_peak / jnp.maximum(peak, 1e-30), 1.0)
+    pcm = jnp.clip(jnp.round(wave * scale * 32767.0), -32768, 32767)
+    return pcm.astype(jnp.int16)

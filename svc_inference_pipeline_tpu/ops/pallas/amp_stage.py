@@ -1,0 +1,259 @@
+"""Fused BigVGAN AMP *stage* — Pallas TPU mega-kernel.
+
+One generator upsampling stage averages three parallel AMPBlock1 stacks
+(/root/reference/modules/bigvgan.py:563-575,609-615); each block is three
+sequential act→conv→act→conv→add pairs (bigvgan.py:424-433). Composed from
+per-pair kernels (ops/pallas/amp_pair.py) that is 9 pallas calls + 18 tiny
+XLA boundary patches per stage, each round-tripping the [T, C] activation
+through HBM. At the late stages (C = 24…96, T up to 245k) the arithmetic
+is ~zero — the measured 26-81 ms per stage is per-op overhead and lane
+padding (BENCH_NOTES.md stage bisect).
+
+This kernel runs the ENTIRE stage in one VMEM pass per time-tile:
+
+* 18 convolutions as k shifted [rows,128]×[128,128] MXU matmuls,
+* 18 anti-aliased snake sandwiches inline (polyphase decomposition from
+  ops/pallas/snake.py — the 2×-rate signal never exists in memory),
+* 9 residual adds and the 3-block mean fused at the end.
+
+The input tile is read ONCE from HBM and the stage output written ONCE —
+the HBM-traffic floor for the stage.
+
+Halo bookkeeping: a pair with kernel k, dilation d consumes
+h = 16 + (d+1)(k−1)/2 rows per side (two act sandwiches at 8 each + the
+two convs); a block consumes the sum over its pairs (≤ 108 for k=11,
+d=(1,3,5)). Tiles DMA a ±HALO (=112, 16-row aligned) window so interior
+rows see their true neighbours; the outermost HALO output rows are patched
+by the caller with the exact XLA composition (global edge semantics).
+
+Restriction: C ≤ 128 (zero-padded to the 128-lane width), act ratios 2/2
+with kernel 12 — the production configuration for vocoder stages 3-5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svc_inference_pipeline_tpu.models import bigvgan as _bg
+from svc_inference_pipeline_tpu.ops.pallas.amp_pair import _pair_halo, _xla_pair
+from svc_inference_pipeline_tpu.ops.pallas.snake import _phase_taps
+
+LANE = 128
+ACT_HALO = 8
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _block_halo(k: int, dils: Sequence[int]) -> int:
+    return sum(_pair_halo(k, d) for d in dils)
+
+
+def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    even_up, odd_up, down_even, down_odd = taps
+    n_blocks = len(ks)
+
+    def act1d(a, alpha, inv_beta):
+        """[N+16, 128] → [N, 128]; fused up2→snake→down2, f32."""
+        n = a.shape[0] - 2 * ACT_HALO
+        n_phase = n + 6
+        even = a[2 : 2 + n_phase, :] * even_up[0]
+        odd = a[3 : 3 + n_phase, :] * odd_up[0]
+        for m in range(1, 6):
+            even = even + a[m + 2 : m + 2 + n_phase, :] * even_up[m]
+            odd = odd + a[m + 3 : m + 3 + n_phase, :] * odd_up[m]
+        even = 2.0 * even
+        odd = 2.0 * odd
+        even = even + inv_beta * jnp.square(jnp.sin(even * alpha))
+        odd = odd + inv_beta * jnp.square(jnp.sin(odd * alpha))
+        out = odd[0:n, :] * down_odd[0] + even[1 : 1 + n, :] * down_even[0]
+        for m in range(1, 6):
+            out = out + odd[m : m + n, :] * down_odd[m]
+            out = out + even[m + 1 : m + 1 + n, :] * down_even[m]
+        return out
+
+    def conv(a, w_ref, b_ref, idx, k, dil):
+        """[N + d(k−1), C] → [N, C]; k shifted matmuls (bf16 in, f32 acc).
+
+        ``w_ref`` holds the block's 6 convs stacked as [6k, C, C]; conv
+        ``idx``'s tap m is row idx·k + m."""
+        n = a.shape[0] - dil * (k - 1)
+        ab = a.astype(w_ref.dtype)
+        acc = jnp.dot(ab[0:n, :], w_ref[idx * k], preferred_element_type=jnp.float32)
+        for m in range(1, k):
+            acc = acc + jnp.dot(
+                ab[m * dil : m * dil + n, :],
+                w_ref[idx * k + m],
+                preferred_element_type=jnp.float32,
+            )
+        return acc + b_ref[idx]
+
+    def kernel(x_hbm, *refs):
+        # refs: (w0, b0, act0, w1, b1, act1, w2, b2, act2, out_ref)
+        out_ref = refs[-1]
+        blocks = [refs[3 * i : 3 * i + 3] for i in range(n_blocks)]
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        def body(tile_ref, sem):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 2 * halo), :],
+                tile_ref,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+            base = tile_ref[:].astype(jnp.float32)  # [t_tile + 2·HALO, 128]
+
+            acc = None
+            for blk, (w_ref, b_ref, act_ref) in enumerate(blocks):
+                k = ks[blk]
+                a = base
+                for j, d in enumerate(dils_per_block[blk]):
+                    h = _pair_halo(k, d)
+                    t1 = act1d(a, act_ref[4 * j], act_ref[4 * j + 1])
+                    t2 = conv(t1, w_ref, b_ref, 2 * j, k, d)
+                    t3 = act1d(t2, act_ref[4 * j + 2], act_ref[4 * j + 3])
+                    t4 = conv(t3, w_ref, b_ref, 2 * j + 1, k, 1)
+                    n = a.shape[0] - 2 * h
+                    a = a[h : h + n, :] + t4
+                surplus = halo - _block_halo(k, dils_per_block[blk])
+                out_b = a[surplus : surplus + t_tile, :]
+                acc = out_b if acc is None else acc + out_b
+            out_ref[0] = (acc * (1.0 / n_blocks)).astype(out_ref.dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((t_tile + 2 * halo, LANE), x_hbm.dtype),
+            pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+def _xla_stage(x, block_params, ks, dils_per_block, kind, logscale):
+    """The exact composed path (global edge semantics) — boundary oracle.
+
+    ``block_params[i]`` is a tuple of per-pair parameter tuples
+    (w1, b1, w2, b2, alpha1, beta1, alpha2, beta2)."""
+    acc = None
+    for blk, pairs in enumerate(block_params):
+        a = x
+        for j, pair in enumerate(pairs):
+            w1, b1, w2, b2, al1, be1, al2, be2 = pair
+            a = _xla_pair(
+                a, w1, b1, w2, b2, al1, be1, al2, be2,
+                ks[blk], dils_per_block[blk][j], kind, logscale,
+            )
+        acc = a if acc is None else acc + a
+    return acc / len(block_params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ks", "dils_per_block", "kind", "logscale", "t_tile",
+                     "interpret", "exact_edges"),
+)
+def fused_amp_stage(
+    x: jnp.ndarray,  # [B, T, C], C ≤ 128
+    block_params,  # tuple over blocks of tuples over pairs of param tuples
+    ks: Tuple[int, ...],
+    dils_per_block: Tuple[Tuple[int, ...], ...],
+    kind: str = "snakebeta",
+    logscale: bool = True,
+    t_tile: int = 2048,
+    interpret: bool = False,
+    exact_edges: bool = True,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    b, t, c = x.shape
+    assert c <= LANE, c
+    dtype = x.dtype
+    n_blocks = len(ks)
+
+    halo = _round_up(max(_block_halo(k, d) for k, d in zip(ks, dils_per_block)), 16)
+    t_tile = min(t_tile, _round_up(t, 16))
+
+    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo)
+
+    # effective act params (exp folded for logscale): rows per pair j are
+    # (alpha1, 1/beta1, alpha2, 1/beta2) at 4j..4j+3, padded to 128 lanes
+    def eff(al, be):
+        if logscale:
+            a_e = jnp.exp(al)
+            b_e = jnp.exp(be) if kind == "snakebeta" else a_e
+        else:
+            a_e = al
+            b_e = be if kind == "snakebeta" else al
+        return a_e, 1.0 / (b_e + 1e-9)
+
+    w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+    operands = []
+    specs = []
+    for blk, pairs in enumerate(block_params):
+        k = ks[blk]
+        ws, bs, acts = [], [], []
+        for (w1, b1, w2, b2, al1, be1, al2, be2) in pairs:
+            ws += [w1, w2]
+            bs += [b1, b2]
+            a1, ib1 = eff(al1, be1)
+            a2, ib2 = eff(al2, be2)
+            acts += [a1, ib1, a2, ib2]
+        w = jnp.concatenate([w_.astype(w_dtype) for w_ in ws], axis=0)  # [6k, C, C]
+        w = jnp.pad(w, [(0, 0), (0, LANE - c), (0, LANE - c)])
+        bias = jnp.stack([jnp.pad(b_.astype(jnp.float32), (0, LANE - c)) for b_ in bs])
+        act = jnp.stack(
+            [jnp.pad(v.astype(jnp.float32), (0, LANE - c), constant_values=1.0) for v in acts]
+        )
+        operands += [w, bias, act]
+        n_pairs = len(pairs)
+        specs += [
+            pl.BlockSpec((2 * n_pairs * k, LANE, LANE), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_pairs, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * n_pairs, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    t_pad = _round_up(t, t_tile)
+    xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, LANE - c)])
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, LANE), dtype),
+        grid=(b, t_pad // t_tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + specs,
+        out_specs=pl.BlockSpec(
+            (1, t_tile, LANE), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, *operands)
+    out = out[:, :t, :c]
+
+    if not exact_edges:
+        return out
+    # exact boundary patch: output row r depends on inputs [r−halo, r+halo];
+    # a span of 4·halo rows makes the outer `patch` rows globally exact
+    patch = min(halo, t)
+    span = min(4 * halo, t)
+    head = _xla_stage(
+        x[:, :span], block_params, ks, dils_per_block, kind, logscale
+    )[:, :patch].astype(dtype)
+    tail = _xla_stage(
+        x[:, -span:], block_params, ks, dils_per_block, kind, logscale
+    )[:, -patch:].astype(dtype)
+    return out.at[:, :patch, :].set(head).at[:, -patch:, :].set(tail)

@@ -80,6 +80,13 @@ class WhisperPPGExtractor:
         )["params"]
         return cls(dims, params, **kw)
 
+    def shard(self, mesh, rules) -> None:
+        """Re-place the encoder params with tensor-parallel NamedShardings
+        (parallel/sharding.py rules); GSPMD propagates through the encode."""
+        from svc_inference_pipeline_tpu.parallel.sharding import shard_params
+
+        self.params = shard_params(self.params, mesh, rules)
+
     def embed_audio(self, mel: jnp.ndarray) -> jnp.ndarray:
         """[B, 80, 3000] → [B, 1500, D] (whisper_extractor/model.py:217)."""
         return self._embed(self.params, mel)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svc_inference_pipeline_tpu.config import HParams
-from svc_inference_pipeline_tpu.models.bigvgan import BigVGANGenerator, vocoder_output_to_audio
+from svc_inference_pipeline_tpu.models.bigvgan import BigVGANGenerator, vocoder_output_finalize
 from svc_inference_pipeline_tpu.models.diffsvc import DiffSVCDenoiser
 from svc_inference_pipeline_tpu.models.encoder import ConditionEncoder
 from svc_inference_pipeline_tpu.ops.f0 import get_f0_features
@@ -73,11 +73,12 @@ class SVCPipeline:
         self.cfg = cfg
         self.bucket = bucket
         self.mesh = mesh
+        model_axis = cfg.parallel.get("model_axis", "model") if "parallel" in cfg else "model"
+        # tensor parallelism: with a model axis > 1 every model's params are
+        # sharded with the TP rules (parallel/sharding.py) and GSPMD inserts
+        # the ICI collectives through the whole inference computation
+        self.tp = mesh is not None and dict(mesh.shape).get(model_axis, 1) > 1
         compute_dtype_name = cfg.get("compute_dtype", "bfloat16")
-        # pin params on device once — passing host (numpy) pytrees into jit
-        # re-uploads every weight on every call (≈1.2 GB/conversion at full
-        # scale over the TPU tunnel)
-        self.cond_params = jax.device_put(cond_params)
         # denoiser weights are re-streamed from HBM on EVERY one of the 1000
         # scan steps — storing them in the compute dtype halves that traffic
         # (checkpoints keep the f32 master copy)
@@ -85,13 +86,35 @@ class SVCPipeline:
             denoiser_params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, dtype=jnp.bfloat16), denoiser_params
             )
-        self.denoiser_params = jax.device_put(denoiser_params)
-        self.vocoder_params = jax.device_put(vocoder_params)
+        if self.tp:
+            from svc_inference_pipeline_tpu.parallel.sharding import (
+                MAPPER_TP_RULES,
+                VOCODER_TP_RULES,
+                WHISPER_TP_RULES,
+                shard_params,
+            )
+
+            self.cond_params = shard_params(cond_params, mesh, MAPPER_TP_RULES)
+            self.denoiser_params = shard_params(denoiser_params, mesh, MAPPER_TP_RULES)
+            self.vocoder_params = shard_params(vocoder_params, mesh, VOCODER_TP_RULES)
+            whisper.shard(mesh, WHISPER_TP_RULES)
+        else:
+            # pin params on device once — passing host (numpy) pytrees into
+            # jit re-uploads every weight on every call (≈1.2 GB/conversion
+            # at full scale over the TPU tunnel)
+            self.cond_params = jax.device_put(cond_params)
+            self.denoiser_params = jax.device_put(denoiser_params)
+            self.vocoder_params = jax.device_put(vocoder_params)
         self.whisper = whisper
 
         compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
-        # fused Pallas Activation1d on real TPU; XLA composition elsewhere
-        use_pallas = cfg.get("use_pallas_vocoder", jax.default_backend() == "tpu")
+        # fused Pallas Activation1d on real TPU; XLA composition elsewhere.
+        # The Pallas kernels compute on the full (unsharded) array — under
+        # channel-sharding TP they would need a shard_map wrapper, so the
+        # GSPMD-propagated XLA path is used instead when model > 1.
+        use_pallas = cfg.get(
+            "use_pallas_vocoder", jax.default_backend() == "tpu" and not self.tp
+        )
         self.cond_encoder = ConditionEncoder(cfg.mapper)
         self.denoiser = DiffSVCDenoiser(cfg.mapper, compute_dtype=compute_dtype)
         self.vocoder = BigVGANGenerator(
@@ -106,7 +129,7 @@ class SVCPipeline:
         self.sampler = cfg.mapper.get("sampler", "ddpm")
         self.plms_speedup = int(cfg.mapper.get("plms_speedup", 10))
 
-        self._core = jax.jit(self._convert_core, static_argnames=("n_frames",))
+        self._core = jax.jit(self._convert_core, static_argnames=("n_frames", "pcm16"))
 
     # ------------------------------------------------------------------
     # Builders
@@ -199,7 +222,9 @@ class SVCPipeline:
         vocoder_params,
         batch: Dict[str, jnp.ndarray],
         key: jax.Array,
+        n_true: jnp.ndarray,  # [B] int32 — true frame count per row
         n_frames: int,
+        pcm16: bool = False,
     ) -> jnp.ndarray:
         cond = self.cond_encoder.apply({"params": cond_params}, batch)
 
@@ -238,7 +263,15 @@ class SVCPipeline:
         mel = (mel_norm + 1.0) / 2.0 * (hi - lo + zero) + lo  # [B, T, M]
 
         wave = self.vocoder.apply({"params": vocoder_params}, mel)  # [B, T*hop]
-        return vocoder_output_to_audio(wave, n_frames, self.cfg.hop_length)
+        # fade + trim at the TRUE length (masked — shapes stay padded), and
+        # optionally peak-norm + PCM16 on device: the fetched bytes are then
+        # exactly the WAV payload (halves the device→host transfer)
+        return vocoder_output_finalize(
+            wave[..., : n_frames * self.cfg.hop_length],
+            n_true,
+            self.cfg.hop_length,
+            pcm16=pcm16,
+        )
 
     # ------------------------------------------------------------------
     # Public API
@@ -254,7 +287,7 @@ class SVCPipeline:
         self.sampler = sampler
         if speedup is not None:
             self.plms_speedup = int(speedup)
-        self._core = jax.jit(self._convert_core, static_argnames=("n_frames",))
+        self._core = jax.jit(self._convert_core, static_argnames=("n_frames", "pcm16"))
 
     def mel_frame_count(self, n_samples: int) -> int:
         """Frame count of the mel front-end, analytically (no device sync)."""
@@ -344,8 +377,14 @@ class SVCPipeline:
         singer_name: str,
         key: Optional[jax.Array] = None,
         output_path: Optional[str] = None,
+        pcm16: bool = False,
     ) -> np.ndarray:
-        """Convert one utterance to the target singer → waveform @ cfg.fs."""
+        """Convert one utterance to the target singer → waveform @ cfg.fs.
+
+        ``pcm16=True`` finalises on device (peak-norm 0.9 + int16 — the
+        exact WAV payload) and returns int16 samples; the device→host
+        transfer halves versus float32.
+        """
         key = key if key is not None else jax.random.PRNGKey(int(time.time_ns() % 2**31))
         batch, n_frames = self.extract_features(wav, singer_name)
         padded = batch["melody"].shape[1]
@@ -356,15 +395,14 @@ class SVCPipeline:
             self.vocoder_params,
             {k: jnp.asarray(v) for k, v in batch.items()},
             key,
+            jnp.asarray([n_frames], jnp.int32),
             n_frames=padded,
+            pcm16=pcm16,
         )
         audio = np.asarray(wave)[0, : n_frames * self.cfg.hop_length].copy()
-        # re-apply the tail fade on the *true* length
-        fade_len = min(20 * self.cfg.hop_length, len(audio))
-        audio[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
 
         if output_path is not None:
-            save_audio(output_path, audio, self.cfg.fs)
+            save_audio(output_path, audio, self.cfg.fs, turn_up=not pcm16)
         return audio
 
     def convert_multi_singer(
@@ -393,16 +431,10 @@ class SVCPipeline:
         waves = np.asarray(
             self._core(
                 self.cond_params, self.denoiser_params, self.vocoder_params,
-                tiled, key, n_frames=padded,
+                tiled, key, jnp.full((b,), n_frames, jnp.int32), n_frames=padded,
             )
         )
-        outs = []
-        for i in range(b):
-            audio = waves[i, : n_frames * self.cfg.hop_length].copy()
-            fade_len = min(20 * self.cfg.hop_length, len(audio))
-            audio[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
-            outs.append(audio)
-        return outs
+        return [waves[i, : n_frames * self.cfg.hop_length].copy() for i in range(b)]
 
     def convert_batch(
         self,
@@ -458,14 +490,12 @@ class SVCPipeline:
                 self.vocoder_params,
                 arrays,
                 key,
+                jnp.asarray(frame_counts, jnp.int32),
                 n_frames=padded,
             )
         )
 
-        outs = []
-        for i, n in enumerate(frame_counts):
-            audio = waves[i, : n * self.cfg.hop_length].copy()
-            fade_len = min(20 * self.cfg.hop_length, len(audio))
-            audio[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
-            outs.append(audio)
-        return outs
+        return [
+            waves[i, : n * self.cfg.hop_length].copy()
+            for i, n in enumerate(frame_counts)
+        ]

@@ -199,8 +199,15 @@ def save_audio(
     turn_up: bool = True,
     volume_peak: float = 0.9,
 ) -> None:
-    """Save waveform with the reference's post-processing (utils/util.py:20-37)."""
-    wav = np.asarray(waveform, dtype=np.float32)
+    """Save waveform with the reference's post-processing (utils/util.py:20-37).
+
+    int16 input is taken as already-finalised PCM (device-side peak-norm +
+    quantisation) and written bit-exactly."""
+    if np.asarray(waveform).dtype == np.int16:
+        wav = np.asarray(waveform, dtype=np.float32) / 32767.0
+        turn_up = False
+    else:
+        wav = np.asarray(waveform, dtype=np.float32)
     if turn_up:
         peak = max(float(wav.max()), abs(float(wav.min())))
         if peak > 0:

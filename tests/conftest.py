@@ -98,7 +98,7 @@ def _install_reference_stubs():
     sys.modules.setdefault("librosa.filters", librosa.filters)
     sys.modules.setdefault("librosa.core", librosa.core)
 
-    for name in ("parselmouth", "torchcrepe", "pyworld", "soundfile", "ffmpeg"):
+    for name in ("parselmouth", "torchcrepe", "pyworld", "soundfile", "ffmpeg", "torchaudio"):
         sys.modules.setdefault(name, _stub_module(name))
 
     fairseq = _stub_module("fairseq")

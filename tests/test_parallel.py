@@ -143,6 +143,43 @@ def test_sequence_parallel_whisper_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_pipeline_tensor_parallel_inference_matches_single(cfg, test_wav):
+    """convert() on a 2x4 data×model mesh: params are TP-sharded through
+    denoiser/vocoder/whisper and the waveform matches single-device."""
+    from svc_inference_pipeline_tpu.config import HParams
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+
+    d = cfg.to_dict()
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    d["mapper"]["residual_layer_num"] = 2
+    d["mapper"]["sampler"] = "plms"
+    # channels halve per stage: 256 keeps every stage divisible by model=4
+    d["vocoder"]["upsample_initial_channel"] = 256
+    d["compute_dtype"] = "float32"
+    small = HParams(**d)
+
+    ref_pipe = SVCPipeline.from_config(small, random_weights=True, whisper_size="tiny")
+    ref = ref_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+
+    mesh = make_mesh(data=2, model=4)
+    tp_pipe = SVCPipeline(
+        ref_pipe.cfg,
+        ref_pipe.cond_params,
+        ref_pipe.denoiser_params,
+        ref_pipe.vocoder_params,
+        ref_pipe.whisper,
+        mesh=mesh,
+    )
+    assert tp_pipe.tp
+    # vocoder conv kernels actually sharded over the model axis
+    k = tp_pipe.vocoder_params["conv_pre"]["conv"]["kernel"]
+    assert {s.data.shape[-1] for s in k.addressable_shards} == {k.shape[-1] // 4}
+    with mesh:
+        out = tp_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-4)
+
+
 def test_pipeline_batch_data_parallel(cfg, test_wav):
     """convert_batch with a mesh shards the batch over the data axis."""
     from svc_inference_pipeline_tpu.config import HParams
