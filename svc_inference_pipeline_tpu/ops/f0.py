@@ -239,14 +239,22 @@ def get_f0_features(
     (utils/f0.py:120-161) with the same voicing threshold (0.6) and the same
     centred padding to the mel frame grid.
     """
-    if method not in ("parselmouth", "ac"):
+    if method not in ("parselmouth", "ac", "dio"):
         raise NotImplementedError(
-            f"F0 method {method!r}: the reference's pyin/dio/harvest/crepe "
-            "backends require librosa/pyworld/torchcrepe which are "
-            "unavailable; the live-path 'parselmouth' (Praat ac) contract "
-            "is implemented natively."
+            f"F0 method {method!r}: the reference's pyin/harvest/crepe "
+            "backends require librosa/torchcrepe which are unavailable; "
+            "'parselmouth' (Praat ac) and 'dio' (DIO+StoneMask) are "
+            "implemented natively."
         )
     hop_size = int(np.round(cfg.hop_length * speed))
+    if method == "dio":
+        f0 = get_f0_features_using_dio(
+            np.asarray(audio), mel_len, cfg.fs, hop_size,
+            float(cfg.f0_min), float(cfg.f0_max),
+        )
+        f0 = np.pad(f0, (0, max(0, mel_len - len(f0))))
+        coarse = f0_to_coarse(f0, cfg.pitch_bin, cfg.pitch_min, cfg.pitch_max)
+        return f0, coarse
     # The tracker's Viterbi is a long serial scan over tiny [K,K] matrices —
     # latency-bound on a TPU (~0.8 s for 10 s audio) and trivial on the host
     # CPU (~50 ms). Pitch extraction is front-end work; pin it to the host.
@@ -318,8 +326,20 @@ def get_f0_features_using_pyin(audio, fs, win_length, hop_length, f0_min, f0_max
 
 
 def get_f0_features_using_dio(audio, mel_len, fs, hop_length, f0_min, f0_max):
-    """pyworld DIO+stonemask backend (utils/f0.py:164-188) — unavailable."""
-    _unavailable("dio", "pyworld")
+    """DIO+StoneMask backend — the reference's pyworld call
+    (utils/f0.py:164-188) re-derived natively (ops/f0_dio.py):
+    channels_in_octave=2, frame_period=1000·hop/fs, truncated to mel_len."""
+    from svc_inference_pipeline_tpu.ops.f0_dio import dio, stonemask
+
+    x = np.asarray(audio, dtype=np.float64)
+    _f0, t = dio(
+        x, fs,
+        f0_floor=float(f0_min), f0_ceil=float(f0_max),
+        channels_in_octave=2.0,
+        frame_period=1000.0 * hop_length / fs,
+    )
+    f0 = stonemask(x, _f0, t, fs)
+    return f0.astype(np.float64)[:mel_len]
 
 
 def get_f0_features_using_harvest(audio, mel_len, fs, hop_length, f0_min, f0_max):
