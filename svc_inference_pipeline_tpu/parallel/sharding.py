@@ -64,6 +64,13 @@ WHISPER_TP_RULES: Rules = (
     (r".*block_\d+/mlp_0/kernel", P(None, M)),
     (r".*block_\d+/mlp_0/bias", P(M)),
     (r".*block_\d+/mlp_2/kernel", P(M, None)),
+    # scanned layout (scan_layers=True): leading layer axis stays unsharded
+    (r".*blocks/block/attn/(query|key|value)/kernel", P(None, None, M)),
+    (r".*blocks/block/attn/(query|value)/bias", P(None, M)),
+    (r".*blocks/block/attn/out/kernel", P(None, M, None)),
+    (r".*blocks/block/mlp_0/kernel", P(None, None, M)),
+    (r".*blocks/block/mlp_0/bias", P(None, M)),
+    (r".*blocks/block/mlp_2/kernel", P(None, M, None)),
 )
 
 

@@ -29,6 +29,17 @@ from svc_inference_pipeline_tpu.ops.whisper_mel import (
 from svc_inference_pipeline_tpu.ops.resample import resample
 
 
+def stack_encoder_block_params(params, n_layers: int):
+    """Per-block encoder params (``block_i/...`` — the torch-converter
+    layout) → the scanned layout (``blocks/block/...`` with a leading layer
+    axis) consumed by WhisperAudioEncoder(scan_layers=True)."""
+    blocks = [params[f"block_{i}"] for i in range(n_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    out["blocks"] = {"block": stacked}
+    return out
+
+
 class WhisperPPGExtractor:
     """audio @ fs → PPG features aligned to the mel hop grid.
 
@@ -42,11 +53,22 @@ class WhisperPPGExtractor:
         params,
         compute_dtype=jnp.bfloat16,
         fs: int = 24000,
+        scan_layers=None,
     ):
         self.dims = dims
+        # scan-over-layers: deep encoders (medium = 24 blocks) compile as ONE
+        # scanned block instead of 24 unrolled ones — auto-on for ≥ 12
+        # layers; per-block params (converter layout) are stacked on the fly
+        if scan_layers is None:
+            scan_layers = dims.n_audio_layer >= 12
+        if scan_layers and "block_0" in params:
+            params = stack_encoder_block_params(params, dims.n_audio_layer)
+        self.scan_layers = scan_layers
         self.params = jax.device_put(params)  # keep weights device-resident
         self.fs = fs
-        self.encoder = WhisperAudioEncoder(dims, compute_dtype=compute_dtype)
+        self.encoder = WhisperAudioEncoder(
+            dims, compute_dtype=compute_dtype, scan_layers=scan_layers
+        )
         self._embed = jax.jit(
             lambda p, mel: self.encoder.apply({"params": p}, mel)
         )

@@ -325,6 +325,108 @@ class SVCPipeline:
         content = jnp.pad(content, [(0, padded - n_frames), (0, 0)])
         return energy[None], content[None]
 
+    @partial(jax.jit, static_argnames=("self", "n_windows", "padded"))
+    def _frontend_device_batch(self, whisper_params, audios24: jnp.ndarray,
+                               n_true: jnp.ndarray, n_windows: int, padded: int):
+        """Batched device front-end: B clips → ONE whisper-encoder call.
+
+        All clips are zero-padded to a rectangular [B, L] block on the host;
+        whisper windows stack across clips into a single [B·W, 80, 3000]
+        encode (the per-clip loop ran B separate encoder dispatches). True
+        frame counts arrive as a dynamic [B] vector so one executable
+        serves any batch of lengths ≤ the bucket; features beyond each
+        clip's true length are masked to zero, matching the single-clip
+        path (loudness for the ≤4 tail frames of shorter clips sees the
+        batch zero-padding instead of that clip's reflect-pad — sub-bucket
+        noise on the 256-bin loudness quantiser)."""
+        from svc_inference_pipeline_tpu.ops.remap import remap_features_device
+        from svc_inference_pipeline_tpu.ops.resample import _resample_conv
+        from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES, log_mel_spectrogram
+
+        b = audios24.shape[0]
+        _, energy = extract_mel_features(audios24, self.cfg)  # [B, T]
+
+        audio16 = _resample_conv(audios24, self.cfg.fs, 16000, "kaiser_best")
+        total = n_windows * N_SAMPLES
+        audio16 = jnp.pad(audio16, [(0, 0), (0, total - audio16.shape[-1])])
+        windows = audio16.reshape(b * n_windows, N_SAMPLES)
+
+        wmel = log_mel_spectrogram(windows)  # [B·W, 80, 3000]
+        feats = self.whisper.encoder.apply({"params": whisper_params}, wmel)
+        feats = feats.reshape(b, -1, feats.shape[-1])  # [B, W·1500, D]
+        content = jax.vmap(
+            lambda f: remap_features_device(f.astype(jnp.float32), padded)
+        )(feats)  # [B, padded, D]
+
+        idx = jnp.arange(padded)[None, :]
+        mask = idx < n_true[:, None]
+        energy = jnp.where(mask, jnp.pad(
+            energy[:, :padded], [(0, 0), (0, max(0, padded - energy.shape[-1]))]
+        ), 0.0)
+        content = jnp.where(mask[..., None], content, 0.0)
+        return energy, content
+
+    def extract_features_batch(
+        self, wavs: Sequence[Union[str, np.ndarray]], singer_names: Sequence[str]
+    ):
+        """Batched front-end: (batch dict [B, padded, …], frame counts).
+
+        One device dispatch for the whole batch (mel energy + whisper
+        encode + remap), overlapped with the per-clip host F0 loop.
+        """
+        cfg = self.cfg
+        from svc_inference_pipeline_tpu.ops.resample import _out_len
+        from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES
+
+        audios = []
+        for wav in wavs:
+            if isinstance(wav, str):
+                a, _ = load_audio(wav, cfg.fs)
+            else:
+                a = np.asarray(wav, dtype=np.float32)
+            audios.append(np.asarray(a))
+
+        frame_counts, window_counts = [], []
+        for a in audios:
+            len16 = _out_len(len(a), 2, 3)
+            w = max(1, -(-len16 // N_SAMPLES))
+            frame_counts.append(min(self.mel_frame_count(len(a)), w * 1500 * 15 // 8))
+            window_counts.append(w)
+        padded = pad_to_bucket(max(frame_counts), self.bucket)
+        # enough windows that the remap's source span covers `padded`
+        n_windows = max(max(window_counts), -(-(padded * 8 // 15 + 1) // 1500))
+
+        l_max = max(len(a) for a in audios)
+        block = np.zeros((len(audios), l_max), np.float32)
+        for i, a in enumerate(audios):
+            block[i, : len(a)] = a
+
+        energy, content = self._frontend_device_batch(  # async dispatch
+            self.whisper.params,
+            jnp.asarray(block),
+            jnp.asarray(frame_counts, jnp.int32),
+            n_windows=n_windows,
+            padded=padded,
+        )
+
+        # host F0 per clip runs while the device computes the whisper chain
+        f0s = np.zeros((len(audios), padded), np.float32)
+        for i, (a, n) in enumerate(zip(audios, frame_counts)):
+            f0, _ = get_f0_features(a, n, cfg)
+            f0 = pitch_shift(f0, cfg)
+            f0s[i, :n] = f0[:n]
+
+        singer_ids = np.concatenate(
+            [get_singer_id(cfg, s) for s in singer_names]
+        ).astype(np.int32)[:, None]
+        batch = {
+            "content_whisper": content,
+            "melody": jnp.asarray(f0s),
+            "loudness": energy,
+            "singer": jnp.asarray(singer_ids),
+        }
+        return batch, frame_counts
+
     def extract_features(self, wav: Union[str, np.ndarray], singer_name: str):
         """Front-end: (batch dict padded to bucket, true frame count).
 
@@ -450,27 +552,8 @@ class SVCPipeline:
         assert len(wavs) == len(singer_names)
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        batches, frame_counts = [], []
-        for wav, singer in zip(wavs, singer_names):
-            b, n = self.extract_features(wav, singer)
-            batches.append(b)
-            frame_counts.append(n)
-
-        padded = max(b["melody"].shape[1] for b in batches)
-
-        def repad(x):
-            t = x.shape[1]
-            if t == padded:
-                return x
-            pad = [(0, 0), (0, padded - t)] + [(0, 0)] * (x.ndim - 2)
-            return np.pad(x, pad)
-
-        merged = {
-            k: np.concatenate(
-                [repad(b[k]) if k != "singer" else b[k] for b in batches], axis=0
-            )
-            for k in batches[0]
-        }
+        merged, frame_counts = self.extract_features_batch(wavs, singer_names)
+        padded = merged["melody"].shape[1]
 
         arrays = {k: jnp.asarray(v) for k, v in merged.items()}
         if self.mesh is not None:

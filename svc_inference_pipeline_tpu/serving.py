@@ -10,9 +10,11 @@ small HTTP server wraps the pipeline:
     GET  /singers                    → name → id map
     GET  /metrics                    → observability JSON
 
-Single-threaded on purpose: one TPU, one pipeline — requests queue at the
-socket; conversion latency is the service time. Batched serving rides
-``SVCPipeline.convert_batch`` (future: request coalescing).
+Concurrent requests COALESCE: a worker thread gathers requests for up to
+``coalesce_ms`` (max ``max_batch``) and converts them in one
+``SVCPipeline.convert_batch`` call — one batched whisper encode, one
+batched DDPM scan, one batched vocoder pass — so throughput under load
+scales with the device batch instead of queueing sequential conversions.
 """
 
 from __future__ import annotations
@@ -20,37 +22,107 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import struct
 import tempfile
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
 
+class _Request:
+    __slots__ = ("audio", "singer", "event", "result", "error")
+
+    def __init__(self, audio, singer):
+        self.audio = audio
+        self.singer = singer
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SVCServer:
-    def __init__(self, pipeline, cfg):
+    def __init__(self, pipeline, cfg, coalesce_ms: float = 25.0, max_batch: int = 8):
         self.pipeline = pipeline
         self.cfg = cfg
         self.started = time.time()
         self.conversions = 0
-        self.lock = threading.Lock()
+        self.batches = 0
+        self.coalesce_ms = coalesce_ms
+        self.max_batch = max_batch
+        self.queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self.worker = threading.Thread(target=self._worker, daemon=True)
+        self.worker.start()
+
+    # -- coalescing worker -------------------------------------------------
+
+    def _worker(self) -> None:
+        while True:
+            req = self.queue.get()
+            if req is None:
+                return
+            batch = [req]
+            deadline = time.time() + self.coalesce_ms / 1000.0
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run(batch)
+                    return
+                batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch) -> None:
+        try:
+            waves = self.pipeline.convert_batch(
+                [r.audio for r in batch], [r.singer for r in batch]
+            )
+            for r, w in zip(batch, waves):
+                r.result = w
+            self.conversions += len(batch)
+            self.batches += 1
+        except Exception:  # noqa: BLE001 — isolate failures per request
+            for r in batch:
+                try:
+                    r.result = self.pipeline.convert(np.asarray(r.audio), r.singer)
+                    self.conversions += 1
+                except Exception as e:  # noqa: BLE001
+                    r.error = e
+        finally:
+            for r in batch:
+                r.event.set()
+
+    def close(self) -> None:
+        self.queue.put(None)
+
+    # -- request entry -----------------------------------------------------
 
     def convert_bytes(self, wav_bytes: bytes, singer: str) -> bytes:
         from svc_inference_pipeline_tpu.utils.audio_io import load_audio, save_audio
+        from svc_inference_pipeline_tpu.utils.registry import get_singer_id
 
+        get_singer_id(self.cfg, singer)  # KeyError → 400 before enqueue
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
             f.write(wav_bytes)
             f.flush()
             audio, _ = load_audio(f.name, self.cfg.fs)
-        with self.lock:
-            wave = self.pipeline.convert(np.asarray(audio), singer)
-            self.conversions += 1
+
+        req = _Request(np.asarray(audio), singer)
+        self.queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
         with tempfile.NamedTemporaryFile(suffix=".wav") as out:
-            save_audio(out.name, wave, self.cfg.fs)
+            save_audio(out.name, req.result, self.cfg.fs)
             out.seek(0)
             return open(out.name, "rb").read()
 
@@ -86,7 +158,16 @@ class SVCServer:
                 elif path == "/metrics":
                     from svc_inference_pipeline_tpu.utils.observability import Metrics
 
-                    self._json(200, Metrics.default().summary())
+                    m = Metrics.default().summary()
+                    m["serving"] = {
+                        "conversions": server.conversions,
+                        "batches": server.batches,
+                        "mean_batch": (
+                            server.conversions / server.batches
+                            if server.batches else 0.0
+                        ),
+                    }
+                    self._json(200, m)
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -122,9 +203,10 @@ class SVCServer:
         return Handler
 
 
-def serve(cfg, pipeline, host: str = "127.0.0.1", port: int = 8787) -> HTTPServer:
-    server = SVCServer(pipeline, cfg)
-    httpd = HTTPServer((host, port), server.handler_class())
+def serve(cfg, pipeline, host: str = "127.0.0.1", port: int = 8787,
+          coalesce_ms: float = 25.0, max_batch: int = 8) -> ThreadingHTTPServer:
+    server = SVCServer(pipeline, cfg, coalesce_ms=coalesce_ms, max_batch=max_batch)
+    httpd = ThreadingHTTPServer((host, port), server.handler_class())
     httpd.svc = server  # for tests
     return httpd
 

@@ -136,3 +136,45 @@ def test_repeat_expand_2d_matches_reference(reference_modules):
         ref = ref_hubert.repeat_expand_2d(torch.from_numpy(content), target_len).numpy()
         ours = repeat_expand_2d(content, target_len)
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_extractor_scan_layers_matches_unrolled():
+    """scan_layers=True (auto-on for deep encoders) ≡ unrolled blocks, with
+    converter-layout params stacked on the fly."""
+    import jax
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.pipeline.content import WhisperPPGExtractor
+
+    plain = WhisperPPGExtractor.random_init("tiny", scan_layers=False)
+    scanned = WhisperPPGExtractor(
+        plain.dims,
+        jax.tree_util.tree_map(np.asarray, plain.params),
+        scan_layers=True,
+    )
+    assert "blocks" in scanned.params and "block_0" not in scanned.params
+    mel = np.random.default_rng(0).standard_normal((1, 80, 3000)).astype(np.float32)
+    a = np.asarray(plain.embed_audio(jnp.asarray(mel)))
+    b = np.asarray(scanned.embed_audio(jnp.asarray(mel)))
+    assert np.abs(a - b).max() < 2e-2
+
+
+def test_scanned_layout_tp_rules():
+    """WHISPER_TP_RULES cover the scanned params layout (leading layer axis
+    unsharded, head/mlp dims sharded)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from svc_inference_pipeline_tpu.parallel.sharding import WHISPER_TP_RULES, param_specs
+
+    params = {
+        "blocks": {
+            "block": {
+                "attn": {"query": {"kernel": jnp.zeros((4, 8, 8))}},
+                "mlp_2": {"kernel": jnp.zeros((4, 32, 8))},
+            }
+        }
+    }
+    specs = param_specs(params, WHISPER_TP_RULES)
+    assert specs["blocks"]["block"]["attn"]["query"]["kernel"] == P(None, None, "model")
+    assert specs["blocks"]["block"]["mlp_2"]["kernel"] == P(None, "model", None)
