@@ -94,27 +94,34 @@ def main():
         ).block_until_ready(),
     )
 
-    # core split: denoiser-only scan vs vocoder-only
+    # core split: denoiser-only scan vs vocoder-only. Params are explicit
+    # jit ARGUMENTS — closing over device arrays embeds them as HLO
+    # constants, which blows past the remote-compile request limit (413).
+    from svc_inference_pipeline_tpu.models.diffsvc_fast import make_fast_denoise_fn
     from svc_inference_pipeline_tpu.sampling.ddpm import ddpm_sample
 
     cond = pipe.cond_encoder.apply({"params": pipe.cond_params}, arrays)
-
-    def dn(x, c, t):
-        return pipe.denoiser.apply({"params": pipe.denoiser_params}, x, c, t)
-
     shape = (1, padded, 100)
-    f_ddpm = jax.jit(lambda c, k: ddpm_sample(dn, c, k, shape, pipe.schedule))
-    timed("ddpm 1000-step scan alone", lambda: f_ddpm(cond, key).block_until_ready())
+
+    def scan_only(dp, c, k):
+        fn = make_fast_denoise_fn(dp, c, pipe.schedule.num_steps, pipe.cfg.mapper,
+                                  compute_dtype=pipe.denoiser.compute_dtype or jnp.float32)
+        return ddpm_sample(fn, c, k, shape, pipe.schedule)
+
+    f_ddpm = jax.jit(scan_only)
+    timed("ddpm 1000-step scan alone (fast path)",
+          lambda: f_ddpm(pipe.denoiser_params, cond, key).block_until_ready())
 
     mel_in = jnp.zeros((1, padded, 100))
-    f_voc = jax.jit(lambda m: pipe.vocoder.apply({"params": pipe.vocoder_params}, m))
-    timed("bigvgan vocoder alone", lambda: f_voc(mel_in).block_until_ready())
+    f_voc = jax.jit(lambda p, m: pipe.vocoder.apply({"params": p}, m))
+    timed("bigvgan vocoder alone", lambda: f_voc(pipe.vocoder_params, mel_in).block_until_ready())
 
     # one denoiser step alone
     x = jnp.zeros(shape)
     t = jnp.zeros((1, 1), jnp.int32)
-    f_step = jax.jit(dn)
-    timed("single denoiser forward", lambda: f_step(x, cond, t).block_until_ready())
+    f_step = jax.jit(lambda p, xx, c, tt: pipe.denoiser.apply({"params": p}, xx, c, tt))
+    timed("single denoiser forward",
+          lambda: f_step(pipe.denoiser_params, x, cond, t).block_until_ready())
 
 
 if __name__ == "__main__":

@@ -147,3 +147,16 @@ def test_pack_data_api():
     out = pack_data({"melody": np.zeros(7, np.float32), "singer": np.array([1], np.int32)})
     assert out["melody"].shape == (1, 7)
     assert out["singer"].shape == (1, 1)
+
+
+def test_transcribe_cli_parser():
+    """CLI surface mirrors the reference's transcribe CLI flags
+    (transcribe.py:254-330)."""
+    from svc_inference_pipeline_tpu.transcribe import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["x.wav", "--model", "tiny", "--beam_size", "3",
+                      "--task", "translate", "--output_format", "srt"])
+    assert a.audio == ["x.wav"] and a.beam_size == 3
+    assert a.task == "translate" and a.output_format == "srt"
+    assert a.suppress_tokens == "-1" and a.condition_on_previous_text is True
