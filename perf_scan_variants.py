@@ -68,7 +68,7 @@ def main():
             y = y + p["bias"].astype(x.dtype)
         return y
 
-    def make_concat_fn():
+    def make_concat_fn(params, cond):
         pre = precompute(params, cond, sched.num_steps, mcfg, jnp.bfloat16)
         L, c = mcfg.residual_layer_num, mcfg.residual_channels
         # [3, C, 2C] → [3C, 2C]
@@ -108,36 +108,42 @@ def main():
 
         return fn
 
-    def run(fn, unroll=1):
+    # params/cond/key are jit ARGUMENTS — a zero-argument jit gets
+    # constant-folded by the XLA evaluator (measured: "runtime" = pure
+    # dispatch round trip, compile takes minutes)
+    def run(variant, unroll):
         from svc_inference_pipeline_tpu.sampling.ddpm import INIT_NOISE_STD, p_sample_step
 
-        k2, init_key = jax.random.split(key)
-        x = INIT_NOISE_STD * jax.random.normal(init_key, shape, dtype=jnp.float32)
-        step_keys = jax.random.split(k2, sched.num_steps)
+        def go(dparams, c, k):
+            fn = (make_fast_denoise_fn(dparams, c, sched.num_steps, mcfg, jnp.bfloat16)
+                  if variant == "base" else make_concat_fn(dparams, c))
+            k2, init_key = jax.random.split(k)
+            x = INIT_NOISE_STD * jax.random.normal(init_key, shape, dtype=jnp.float32)
+            step_keys = jax.random.split(k2, sched.num_steps)
 
-        def body(xc, inp):
-            t, kk = inp
-            return p_sample_step(fn, sched, xc, t, cond, kk), None
+            def body(xc, inp):
+                t, kk = inp
+                return p_sample_step(fn, sched, xc, t, c, kk), None
 
-        ts = jnp.arange(sched.num_steps - 1, -1, -1, dtype=jnp.int32)
-        out, _ = jax.lax.scan(body, x, (ts, step_keys), unroll=unroll)
-        return out
+            ts = jnp.arange(sched.num_steps - 1, -1, -1, dtype=jnp.int32)
+            out, _ = jax.lax.scan(body, x, (ts, step_keys), unroll=unroll)
+            # scalar result: block_until_ready is unreliable over the tunnel —
+            # fetching the scalar is the only dependable sync
+            return jnp.sum(out.astype(jnp.float32)), out
 
-    base_fn = make_fast_denoise_fn(params, cond, sched.num_steps, mcfg, jnp.bfloat16)
-    concat_fn = make_concat_fn()
+        return jax.jit(go, static_argnums=())
 
-    f_base = jax.jit(lambda: run(base_fn)).lower().compile()
-    timed("baseline scan (200 steps)", lambda: jax.block_until_ready(f_base()))
-    f_cat = jax.jit(lambda: run(concat_fn)).lower().compile()
-    timed("concat-tap scan (200 steps)", lambda: jax.block_until_ready(f_cat()))
-    f_u2 = jax.jit(lambda: run(base_fn, unroll=2)).lower().compile()
-    timed("baseline unroll=2 (200 steps)", lambda: jax.block_until_ready(f_u2()))
-    f_cu2 = jax.jit(lambda: run(concat_fn, unroll=2)).lower().compile()
-    timed("concat-tap unroll=2 (200 steps)", lambda: jax.block_until_ready(f_cu2()))
+    f_base = run("base", 1)
+    timed("baseline scan (200 steps)", lambda: float(f_base(params, cond, key)[0]))
+    f_cat = run("concat", 1)
+    timed("concat-tap scan (200 steps)", lambda: float(f_cat(params, cond, key)[0]))
+    f_u2 = run("base", 2)
+    timed("baseline unroll=2 (200 steps)", lambda: float(f_u2(params, cond, key)[0]))
+    f_cu2 = run("concat", 2)
+    timed("concat-tap unroll=2 (200 steps)", lambda: float(f_cu2(params, cond, key)[0]))
 
-    # numerics: concat formulation must match baseline bit-for-bit-ish
-    a = np.asarray(f_base())
-    b = np.asarray(f_cat())
+    a = np.asarray(f_base(params, cond, key)[1])
+    b = np.asarray(f_cat(params, cond, key)[1])
     print("concat vs baseline max err:", np.abs(a - b).max(), flush=True)
 
 

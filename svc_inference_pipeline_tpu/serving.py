@@ -20,10 +20,8 @@ scales with the device batch instead of queueing sequential conversions.
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import queue
-import struct
 import tempfile
 import threading
 import time
