@@ -239,12 +239,12 @@ def get_f0_features(
     (utils/f0.py:120-161) with the same voicing threshold (0.6) and the same
     centred padding to the mel frame grid.
     """
-    if method not in ("parselmouth", "ac", "dio"):
+    if method not in ("parselmouth", "ac", "dio", "pyin"):
         raise NotImplementedError(
-            f"F0 method {method!r}: the reference's pyin/harvest/crepe "
-            "backends require librosa/torchcrepe which are unavailable; "
-            "'parselmouth' (Praat ac) and 'dio' (DIO+StoneMask) are "
-            "implemented natively."
+            f"F0 method {method!r}: the reference's harvest/crepe backends "
+            "require pyworld/torchcrepe which are unavailable; "
+            "'parselmouth' (Praat ac), 'dio' (DIO+StoneMask) and 'pyin' "
+            "are implemented natively."
         )
     hop_size = int(np.round(cfg.hop_length * speed))
     if method == "dio":
@@ -253,6 +253,14 @@ def get_f0_features(
             float(cfg.f0_min), float(cfg.f0_max),
         )
         f0 = np.pad(f0, (0, max(0, mel_len - len(f0))))
+        coarse = f0_to_coarse(f0, cfg.pitch_bin, cfg.pitch_min, cfg.pitch_max)
+        return f0, coarse
+    if method == "pyin":
+        f0 = get_f0_features_using_pyin(
+            np.asarray(audio), cfg.fs, cfg.win_length, hop_size,
+            float(cfg.f0_min), float(cfg.f0_max),
+        )
+        f0 = np.pad(f0, (0, max(0, mel_len - len(f0))))[:mel_len]
         coarse = f0_to_coarse(f0, cfg.pitch_bin, cfg.pitch_min, cfg.pitch_max)
         return f0, coarse
     # The tracker's Viterbi is a long serial scan over tiny [K,K] matrices —
@@ -321,8 +329,22 @@ def _unavailable(name: str, dep: str):
 
 
 def get_f0_features_using_pyin(audio, fs, win_length, hop_length, f0_min, f0_max):
-    """librosa.pyin backend (reference utils/f0.py:95-117) — unavailable."""
-    _unavailable("pyin", "librosa")
+    """pYIN backend — the reference's librosa.pyin call
+    (utils/f0.py:95-117) re-derived natively (ops/f0_pyin.py): same
+    parameter surface, unvoiced frames (nan in librosa) returned as 0."""
+    from svc_inference_pipeline_tpu.ops.f0_pyin import pyin
+
+    f0, voiced, _ = pyin(
+        np.asarray(audio, dtype=np.float64),
+        fs=fs,
+        fmin=float(f0_min),
+        fmax=float(f0_max),
+        win_length=int(win_length),
+        hop_length=int(hop_length),
+    )
+    f0 = f0.astype(np.float64)
+    f0[~voiced] = 0.0
+    return f0
 
 
 def get_f0_features_using_dio(audio, mel_len, fs, hop_length, f0_min, f0_max):
