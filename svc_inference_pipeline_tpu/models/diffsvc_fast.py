@@ -80,12 +80,15 @@ def denoise_step(params: Any, pre: Precomputed, x: jnp.ndarray, t: jnp.ndarray,
         # faster than lax.conv at these shapes (B=1, T≈1k, MXU-bound)
         w = p["dilated_conv"]["kernel"].astype(compute_dtype)  # [3, C, 2C]
         if cfg.residual_kernel_size == 3:
+            # concat-tap im2col: ONE [T,3C]@[3C,2C] matmul instead of three
+            # summed [T,C]@[C,2C] — measured ~5% faster per DDPM step on v5e
+            # (deeper K amortises MXU ramp; fewer f32 accumulator merges)
             yp = jnp.pad(y, [(0, 0), (d, d), (0, 0)])
-            y = (
-                yp[:, :t_len, :] @ w[0]
-                + yp[:, d : d + t_len, :] @ w[1]
-                + yp[:, 2 * d : 2 * d + t_len, :] @ w[2]
-            )
+            y3 = jnp.concatenate(
+                [yp[:, :t_len], yp[:, d : d + t_len], yp[:, 2 * d : 2 * d + t_len]],
+                axis=-1,
+            )  # [B, T, 3C]
+            y = y3 @ w.reshape(3 * w.shape[1], w.shape[2])
         else:
             y = jax.lax.conv_general_dilated(
                 y, w, (1,), [(d * (cfg.residual_kernel_size - 1) // 2,) * 2],

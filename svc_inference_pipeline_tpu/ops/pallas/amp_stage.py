@@ -28,6 +28,18 @@ by the caller with the exact XLA composition (global edge semantics).
 
 Restriction: C ≤ 128 (zero-padded to the 128-lane width), act ratios 2/2
 with kernel 12 — the production configuration for vocoder stages 3-5.
+
+Phase packing (the narrow-channel lever): at C = 24/48 a [T, C→128] layout
+leaves 81%/62% of every VPU lane idle — and the snake sandwiches are pure
+VPU work (24-tap FIRs + 2 sin per upsampled sample). Instead ``g = 128/cw``
+consecutive time-steps are folded into the lane dimension (cw = C rounded
+up to 32/64): lanes hold (phase p, channel c) at p·cw + c, i.e. the packed
+[T/g, 128] array is just [T, cw] flat. Time shifts become row shifts plus
+cw-aligned lane rotations (``tshift``), and each conv tap's [cw, cw] matmul
+becomes one [128, 128] block-diagonal matmul (kron(I_g, W)) — identical
+arithmetic, full lane occupancy. All intermediates keep a fixed row count;
+content shrinks leftward as halos are consumed and zero rows back-fill from
+the right, exactly mirroring the unpacked version's shrinking arrays.
 """
 
 from __future__ import annotations
@@ -46,6 +58,10 @@ from svc_inference_pipeline_tpu.ops.pallas.snake import _phase_taps
 LANE = 128
 ACT_HALO = 8
 
+# perf-bisect hooks (perf_stage5.py): force a packing factor / stub out the
+# act or conv work to attribute kernel time. Never set in production.
+_DEBUG = {"force_g": None, "no_act": False, "no_conv": False}
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
@@ -55,43 +71,74 @@ def _block_halo(k: int, dils: Sequence[int]) -> int:
     return sum(_pair_halo(k, d) for d in dils)
 
 
-def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int):
+def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     even_up, odd_up, down_even, down_odd = taps
     n_blocks = len(ks)
+    cw = LANE // g  # channels per phase group
+    r_total = (t_tile + 2 * halo) // g  # fixed row count of every tensor
+
+    def tshift(a, s: int):
+        """Shift content ``s`` time-steps toward row 0 (packed layout);
+        zero rows back-fill from the right so the shape stays [r_total, 128].
+        Equivalent to the unpacked ``a[s : s + n]`` left-anchored slice.
+
+        The phase part is a lane rotation + row-pair select (Mosaic's
+        tpu.concatenate rejects lane-offset operands, so no lane concat)."""
+        if s == 0:
+            return a
+        r1, p = divmod(s, g)
+        # zero-pad rows first: both concat operands are offset-free
+        ap = jnp.concatenate(
+            [a, jnp.zeros((r1 + 1, LANE), a.dtype)], axis=0
+        )
+        if p == 0:
+            return ap[r1 : r1 + r_total]
+        rolled = pltpu.roll(ap, LANE - p * cw, 1)  # lane l ← lane l + p·cw (mod 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r_total, LANE), 1)
+        return jnp.where(
+            lane < LANE - p * cw,
+            rolled[r1 : r1 + r_total],
+            rolled[r1 + 1 : r1 + 1 + r_total],
+        )
 
     def act1d(a, alpha, inv_beta):
-        """[N+16, 128] → [N, 128]; fused up2→snake→down2, f32."""
-        n = a.shape[0] - 2 * ACT_HALO
-        n_phase = n + 6
-        even = a[2 : 2 + n_phase, :] * even_up[0]
-        odd = a[3 : 3 + n_phase, :] * odd_up[0]
+        """Fused up2→snake→down2, f32; output time 0 ↔ input time 8."""
+        if _DEBUG["no_act"]:
+            return tshift(a, 16)
+        even = tshift(a, 2) * even_up[0]
+        odd = tshift(a, 3) * odd_up[0]
         for m in range(1, 6):
-            even = even + a[m + 2 : m + 2 + n_phase, :] * even_up[m]
-            odd = odd + a[m + 3 : m + 3 + n_phase, :] * odd_up[m]
+            even = even + tshift(a, m + 2) * even_up[m]
+            odd = odd + tshift(a, m + 3) * odd_up[m]
         even = 2.0 * even
         odd = 2.0 * odd
         even = even + inv_beta * jnp.square(jnp.sin(even * alpha))
         odd = odd + inv_beta * jnp.square(jnp.sin(odd * alpha))
-        out = odd[0:n, :] * down_odd[0] + even[1 : 1 + n, :] * down_even[0]
+        out = odd * down_odd[0] + tshift(even, 1) * down_even[0]
         for m in range(1, 6):
-            out = out + odd[m : m + n, :] * down_odd[m]
-            out = out + even[m + 1 : m + 1 + n, :] * down_even[m]
+            out = out + tshift(odd, m) * down_odd[m]
+            out = out + tshift(even, m + 1) * down_even[m]
         return out
 
     def conv(a, w_ref, b_ref, idx, k, dil):
-        """[N + d(k−1), C] → [N, C]; k shifted matmuls (bf16 in, f32 acc).
+        """k tap-shifted [128,128] matmuls (bf16 in, f32 acc); the weights
+        are block-diagonal kron(I_g, W) under packing.
 
-        ``w_ref`` holds the block's 6 convs stacked as [6k, C, C]; conv
+        ``w_ref`` holds the block's 6 convs stacked as [6k, 128, 128]; conv
         ``idx``'s tap m is row idx·k + m."""
-        n = a.shape[0] - dil * (k - 1)
-        ab = a.astype(w_ref.dtype)
-        acc = jnp.dot(ab[0:n, :], w_ref[idx * k], preferred_element_type=jnp.float32)
+        if _DEBUG["no_conv"]:
+            return tshift(a, dil * (k - 1)) + b_ref[idx]
+        # tshift rotates lanes — Mosaic only rotates 32-bit data, so shift
+        # in f32 and cast each tap operand to the weight dtype after
+        acc = jnp.dot(
+            a.astype(w_ref.dtype), w_ref[idx * k], preferred_element_type=jnp.float32
+        )
         for m in range(1, k):
             acc = acc + jnp.dot(
-                ab[m * dil : m * dil + n, :],
+                tshift(a, m * dil).astype(w_ref.dtype),
                 w_ref[idx * k + m],
                 preferred_element_type=jnp.float32,
             )
@@ -106,13 +153,13 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int):
 
         def body(tile_ref, sem):
             dma = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 2 * halo), :],
+                x_hbm.at[bi, pl.ds(ti * (t_tile // g), r_total), :],
                 tile_ref,
                 sem,
             )
             dma.start()
             dma.wait()
-            base = tile_ref[:].astype(jnp.float32)  # [t_tile + 2·HALO, 128]
+            base = tile_ref[:].astype(jnp.float32)  # [r_total, 128]
 
             acc = None
             for blk, (w_ref, b_ref, act_ref) in enumerate(blocks):
@@ -124,16 +171,15 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int):
                     t2 = conv(t1, w_ref, b_ref, 2 * j, k, d)
                     t3 = act1d(t2, act_ref[4 * j + 2], act_ref[4 * j + 3])
                     t4 = conv(t3, w_ref, b_ref, 2 * j + 1, k, 1)
-                    n = a.shape[0] - 2 * h
-                    a = a[h : h + n, :] + t4
+                    a = tshift(a, h) + t4
                 surplus = halo - _block_halo(k, dils_per_block[blk])
-                out_b = a[surplus : surplus + t_tile, :]
+                out_b = tshift(a, surplus)[: t_tile // g]
                 acc = out_b if acc is None else acc + out_b
             out_ref[0] = (acc * (1.0 / n_blocks)).astype(out_ref.dtype)
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((t_tile + 2 * halo, LANE), x_hbm.dtype),
+            pltpu.VMEM((r_total, LANE), x_hbm.dtype),
             pltpu.SemaphoreType.DMA,
         )
 
@@ -184,10 +230,18 @@ def fused_amp_stage(
     dtype = x.dtype
     n_blocks = len(ks)
 
+    # phase packing: fold g consecutive time-steps into the 128 lanes
+    g = 4 if c <= 32 else (2 if c <= 64 else 1)
+    if _DEBUG["force_g"] is not None:
+        g = _DEBUG["force_g"]
+        assert c <= LANE // g
+    cw = LANE // g  # channel slots per phase
+
     halo = _round_up(max(_block_halo(k, d) for k, d in zip(ks, dils_per_block)), 16)
     t_tile = min(t_tile, _round_up(t, 16))
+    t_tile = _round_up(t_tile, 8 * g)
 
-    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo)
+    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g)
 
     # effective act params (exp folded for logscale): rows per pair j are
     # (alpha1, 1/beta1, alpha2, 1/beta2) at 4j..4j+3, padded to 128 lanes
@@ -202,6 +256,12 @@ def fused_amp_stage(
 
     w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
+    # packed per-channel vectors: pad to cw, then tile over the g phases
+    def pack_vec(v, fill):
+        return jnp.tile(jnp.pad(v, (0, cw - c), constant_values=fill), g)
+
+    eye_g = jnp.eye(g, dtype=w_dtype)
+
     operands = []
     specs = []
     for blk, pairs in enumerate(block_params):
@@ -214,11 +274,11 @@ def fused_amp_stage(
             a2, ib2 = eff(al2, be2)
             acts += [a1, ib1, a2, ib2]
         w = jnp.concatenate([w_.astype(w_dtype) for w_ in ws], axis=0)  # [6k, C, C]
-        w = jnp.pad(w, [(0, 0), (0, LANE - c), (0, LANE - c)])
-        bias = jnp.stack([jnp.pad(b_.astype(jnp.float32), (0, LANE - c)) for b_ in bs])
-        act = jnp.stack(
-            [jnp.pad(v.astype(jnp.float32), (0, LANE - c), constant_values=1.0) for v in acts]
-        )
+        w = jnp.pad(w, [(0, 0), (0, cw - c), (0, cw - c)])
+        if g > 1:  # block-diagonal: each phase applies the same [cw, cw] W
+            w = jax.vmap(lambda m: jnp.kron(eye_g, m))(w)  # [6k, 128, 128]
+        bias = jnp.stack([pack_vec(b_.astype(jnp.float32), 0.0) for b_ in bs])
+        act = jnp.stack([pack_vec(v.astype(jnp.float32), 1.0) for v in acts])
         operands += [w, bias, act]
         n_pairs = len(pairs)
         specs += [
@@ -229,20 +289,22 @@ def fused_amp_stage(
         ]
 
     t_pad = _round_up(t, t_tile)
-    xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, LANE - c)])
+    xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, cw - c)])
+    # pack: [B, T', cw] → [B, T'/g, g·cw=128]; lane p·cw + ch ↔ time-phase p
+    xp = xp.reshape(b, (t_pad + 2 * halo) // g, LANE)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, LANE), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad // g, LANE), dtype),
         grid=(b, t_pad // t_tile),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + specs,
         out_specs=pl.BlockSpec(
-            (1, t_tile, LANE), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            (1, t_tile // g, LANE), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, *operands)
-    out = out[:, :t, :c]
+    out = out.reshape(b, t_pad, cw)[:, :t, :c]
 
     if not exact_edges:
         return out

@@ -63,10 +63,14 @@ def ddpm_sample(
     shape: Sequence[int],
     schedule: DiffusionSchedule,
     clip_denoised: bool = True,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Full reverse process → x₀ of ``shape`` [B, T, M].
 
     ``denoise_fn(x [B,T,M], cond [B,T,D], t [B,1]) → ε [B,T,M]``.
+    ``unroll`` duplicates the step body in the compiled loop (identical
+    numerics; measured ~3% faster at unroll=2 on v5e — amortised loop
+    bookkeeping).
     """
     num_steps = schedule.num_steps
     key, init_key = jax.random.split(key)
@@ -80,7 +84,9 @@ def ddpm_sample(
         return x, None
 
     ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
-    x, _ = jax.lax.scan(body, x, (ts, step_keys))
+    x, _ = jax.lax.scan(
+        body, x, (ts, step_keys), unroll=unroll if num_steps % unroll == 0 else 1
+    )
     return x
 
 
