@@ -69,14 +69,14 @@ def main():
     # warm-up (compiles every stage); pcm16: output finalised on device
     # (peak-norm + int16 — the exact WAV payload)
     t0 = time.time()
-    wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)
+    wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape} {wave.dtype}")
 
     # timed runs
     times = []
     for i in range(3):
         t0 = time.time()
-        wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True)
+        wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True, upload_pcm16=True)
         times.append(time.time() - t0)
     rtf = float(np.median(times) / duration)
     log(f"e2e times: {[f'{x:.3f}' for x in times]} → RTF {rtf:.4f} ({duration:.1f}s audio)")
@@ -99,11 +99,11 @@ def main():
 
     # the supported fast path (working PLMS — the reference's own crashes)
     pipe.set_sampler("plms")
-    pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)  # compile
+    pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)  # compile
     plms_times = []
     for i in range(3):
         t0 = time.time()
-        pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True)
+        pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True, upload_pcm16=True)
         plms_times.append(time.time() - t0)
     plms_rtf = float(np.median(plms_times) / duration)
     log(f"plms@10 e2e RTF: {plms_rtf:.4f}")

@@ -309,6 +309,12 @@ class SVCPipeline:
         from svc_inference_pipeline_tpu.ops.resample import _resample_conv
         from svc_inference_pipeline_tpu.ops.whisper_mel import N_SAMPLES, log_mel_spectrogram
 
+        if audio24.dtype == jnp.int16:
+            # PCM16 upload path: halves the host→device transfer (the
+            # tunnel moves ~90 MB/s; ~20 ms on a 10 s clip). Same scale as
+            # load_audio's int16 normalisation.
+            audio24 = audio24.astype(jnp.float32) * np.float32(1.0 / 32768.0)
+
         _, energy = extract_mel_features(audio24, self.cfg)
 
         audio16 = _resample_conv(audio24, self.cfg.fs, 16000, "kaiser_best")
@@ -427,11 +433,16 @@ class SVCPipeline:
         }
         return batch, frame_counts
 
-    def extract_features(self, wav: Union[str, np.ndarray], singer_name: str):
+    def extract_features(self, wav: Union[str, np.ndarray], singer_name: str,
+                         upload_pcm16: bool = False):
         """Front-end: (batch dict padded to bucket, true frame count).
 
         Device work (mel energy, whisper encode, remap) is dispatched first
         and runs while the host computes F0 — the two halves overlap.
+        ``upload_pcm16`` quantises the waveform to int16 for the upload
+        (half the host→device bytes; ~20 ms on a 10 s clip over the
+        tunnel) — lossless when the source was 16-bit PCM, ≤ ±2⁻¹⁶
+        otherwise; the host F0 path always sees the float signal.
         """
         cfg = self.cfg
         if isinstance(wav, str):
@@ -451,9 +462,15 @@ class SVCPipeline:
         n_frames = min(mel_len, n_windows * 1500 * 15 // 8)
         padded = pad_to_bucket(n_frames, self.bucket)
 
+        if upload_pcm16 and audio.dtype == np.float32:
+            dev_audio = np.clip(
+                np.round(audio * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        else:
+            dev_audio = audio
         energy, content = self._frontend_device(  # async dispatch
             self.whisper.params,
-            jnp.asarray(audio),
+            jnp.asarray(dev_audio),
             n_windows=n_windows,
             n_frames=n_frames,
             padded=padded,
@@ -480,15 +497,17 @@ class SVCPipeline:
         key: Optional[jax.Array] = None,
         output_path: Optional[str] = None,
         pcm16: bool = False,
+        upload_pcm16: bool = False,
     ) -> np.ndarray:
         """Convert one utterance to the target singer → waveform @ cfg.fs.
 
         ``pcm16=True`` finalises on device (peak-norm 0.9 + int16 — the
         exact WAV payload) and returns int16 samples; the device→host
-        transfer halves versus float32.
+        transfer halves versus float32. ``upload_pcm16=True`` halves the
+        upload too (see :meth:`extract_features`).
         """
         key = key if key is not None else jax.random.PRNGKey(int(time.time_ns() % 2**31))
-        batch, n_frames = self.extract_features(wav, singer_name)
+        batch, n_frames = self.extract_features(wav, singer_name, upload_pcm16=upload_pcm16)
         padded = batch["melody"].shape[1]
 
         wave = self._core(

@@ -70,6 +70,19 @@ def test_convert_end_to_end(pipe, test_wav, tmp_path):
     assert saved.shape[0] == len(wave) + 2 * (24000 // 20)
 
 
+def test_pcm16_upload_matches_float(pipe, test_wav):
+    """upload_pcm16 front-end ≈ float front-end: the ±2⁻¹⁶ waveform
+    quantisation must stay below audible/feature-level tolerances."""
+    a, na = pipe.extract_features(test_wav, "svcc_CDF1")
+    b, nb = pipe.extract_features(test_wav, "svcc_CDF1", upload_pcm16=True)
+    assert na == nb
+    for k in a:
+        x, y = np.asarray(a[k], np.float32), np.asarray(b[k], np.float32)
+        assert x.shape == y.shape, k
+        scale = max(np.abs(x).max(), 1e-6)
+        assert np.abs(x - y).max() / scale < 2e-3, (k, np.abs(x - y).max())
+
+
 def test_convert_deterministic_with_key(pipe, test_wav):
     a = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(1))
     b = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(1))
