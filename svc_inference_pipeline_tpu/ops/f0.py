@@ -370,9 +370,20 @@ def get_f0_features_using_harvest(audio, mel_len, fs, hop_length, f0_min, f0_max
 
 
 def get_f0_features_using_crepe(audio, mel_len, fs, hop_length, hop_length_new,
-                                f0_min, f0_max, threshold=0.3):
-    """torchcrepe backend (utils/f0.py:214-264) — unavailable."""
-    _unavailable("crepe", "torchcrepe")
+                                f0_min, f0_max, threshold=0.3, **kw):
+    """CREPE backend — the reference's torchcrepe chain (utils/f0.py:
+    214-264) natively (ops/f0_crepe.py): CREPE convnet in Flax + viterbi
+    decode, periodicity median filter, −60 dB silence gate, threshold,
+    mean filter, voiced-sample interpolation onto the mel grid. The
+    trained checkpoint is a downloaded artifact (absent here, no egress):
+    provide torchcrepe's full.pth via ``SVC_CREPE_WEIGHTS`` or
+    ``params=``."""
+    from svc_inference_pipeline_tpu.ops.f0_crepe import (
+        get_f0_features_using_crepe as _impl,
+    )
+
+    return _impl(audio, mel_len, fs, hop_length, hop_length_new,
+                 f0_min, f0_max, threshold, **kw)
 
 
 def get_f0_features_using_parselmouth(audio, mel_len, cfg, speed=1):

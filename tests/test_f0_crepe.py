@@ -1,0 +1,127 @@
+"""CREPE backend components (ops/f0_crepe.py).
+
+The trained checkpoint is unavailable (no egress), so the net runs under
+random weights for shape/flow tests while the deterministic parts — bin
+mapping, framing, viterbi decode, filters, loudness gate, the full chain's
+interpolation contract — are tested exactly.
+"""
+
+import numpy as np
+import pytest
+
+from svc_inference_pipeline_tpu.ops.f0_crepe import (
+    CrepeModel,
+    N_BINS,
+    a_weighted_loudness,
+    bins_to_cents,
+    cents_to_freq,
+    frame_audio,
+    freq_to_cents,
+    get_f0_features_using_crepe,
+    mean_filter,
+    median_filter,
+    viterbi_decode,
+)
+
+FS16 = 16000
+
+
+def test_bin_cent_freq_roundtrip():
+    bins = np.arange(N_BINS)
+    f = cents_to_freq(bins_to_cents(bins))
+    # CREPE's range: ~32.7 Hz (bin 0) to ~1975.5 Hz (bin 359)
+    assert 31.0 < f[0] < 33.0
+    assert 1900.0 < f[-1] < 2010.0
+    np.testing.assert_allclose(freq_to_cents(f), bins_to_cents(bins), rtol=1e-12)
+
+
+def test_frame_audio_shapes_and_normalisation():
+    x = np.random.default_rng(0).standard_normal(FS16).astype(np.float32)
+    hop = 80
+    frames = frame_audio(x, hop)
+    assert frames.shape == (1 + len(x) // hop, 1024)
+    np.testing.assert_allclose(frames.mean(axis=1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(frames.std(axis=1), 1.0, atol=1e-3)
+
+
+def test_model_forward_shapes():
+    for name, flat in (("tiny", 64 * 4), ("full", 512 * 4)):
+        net = CrepeModel(name)
+        params = net.init_params(np.random.default_rng(0))
+        assert params["classifier"]["kernel"].shape == (flat, N_BINS)
+        probs = np.asarray(net.apply(params, np.zeros((3, 1024), np.float32)))
+        assert probs.shape == (3, N_BINS)
+        assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_viterbi_decode_follows_clean_posteriors():
+    """Synthetic posteriors peaked at a moving bin → decode tracks it and
+    the weighted average refines between bins."""
+    n, true_bins = 50, np.linspace(100, 140, 50)
+    probs = np.full((n, N_BINS), 1e-4)
+    for t, b in enumerate(true_bins):
+        lo = int(b)
+        w = b - lo
+        probs[t, lo] = 1.0 - w
+        probs[t, lo + 1] = w
+    f0, pd = viterbi_decode(probs)
+    true_f = cents_to_freq(bins_to_cents(true_bins))
+    err_cents = 1200 * np.abs(np.log2(f0 / true_f))
+    assert np.median(err_cents) < 10
+    assert pd.min() > 0.3
+
+
+def test_viterbi_smooths_outlier():
+    probs = np.full((30, N_BINS), 1e-4)
+    probs[:, 150] = 0.9
+    probs[15, 150] = 1e-4
+    probs[15, 300] = 0.9  # single-frame octave glitch
+    f0, _ = viterbi_decode(probs)
+    target = cents_to_freq(bins_to_cents(150))
+    assert np.abs(1200 * np.log2(f0[15] / target)) < 40  # stays near 150
+
+def test_filters():
+    x = np.array([1.0, 1.0, 9.0, 1.0, 1.0])
+    np.testing.assert_allclose(median_filter(x, 3), [1, 1, 1, 1, 1])
+    m = mean_filter(np.array([3.0, 3.0, 3.0]), 3)
+    np.testing.assert_allclose(m, [3, 3, 3])
+    # NaN propagates through mean (torchcrepe contract) — then zeroed later
+    assert np.isnan(mean_filter(np.array([1.0, np.nan, 1.0]), 3)).all()
+
+
+def test_loudness_gate_separates_tone_from_silence():
+    t = np.arange(FS16) / FS16
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sil = np.zeros(FS16)
+    l_tone = a_weighted_loudness(tone, 80)
+    l_sil = a_weighted_loudness(sil, 80)
+    assert l_tone.mean() > -60.0
+    assert l_sil.mean() <= -99.0
+
+
+def test_extractor_requires_weights():
+    with pytest.raises(NotImplementedError, match="SVC_CREPE_WEIGHTS"):
+        get_f0_features_using_crepe(
+            np.zeros(24000, np.float32), 100, 24000, 256, 160, 50.0, 1100.0
+        )
+
+
+def test_full_chain_with_random_weights():
+    """End-to-end flow with injected random params: correct length, zeros
+    on silence (loudness gate), finite values."""
+    net = CrepeModel("tiny")
+    params = net.init_params(np.random.default_rng(1))
+    rng = np.random.default_rng(2)
+    audio = (0.3 * rng.standard_normal(24000)).astype(np.float32)
+    mel_len = 90
+    f0 = get_f0_features_using_crepe(
+        audio, mel_len, 24000, 256, 160, 50.0, 1100.0, model="tiny", params=params
+    )
+    assert f0.shape == (mel_len,)
+    assert np.isfinite(f0).all()
+
+    silent = np.zeros(24000, np.float32)
+    f0s = get_f0_features_using_crepe(
+        silent, mel_len, 24000, 256, 160, 50.0, 1100.0, model="tiny", params=params
+    )
+    assert (f0s == 0).all()
