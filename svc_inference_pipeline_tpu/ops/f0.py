@@ -239,14 +239,22 @@ def get_f0_features(
     (utils/f0.py:120-161) with the same voicing threshold (0.6) and the same
     centred padding to the mel frame grid.
     """
-    if method not in ("parselmouth", "ac", "dio", "pyin"):
+    if method not in ("parselmouth", "ac", "dio", "pyin", "harvest"):
         raise NotImplementedError(
-            f"F0 method {method!r}: the reference's harvest/crepe backends "
-            "require pyworld/torchcrepe which are unavailable; "
-            "'parselmouth' (Praat ac), 'dio' (DIO+StoneMask) and 'pyin' "
-            "are implemented natively."
+            f"F0 method {method!r}: 'parselmouth' (Praat ac), 'dio', "
+            "'pyin' and 'harvest' are implemented natively; 'crepe' needs "
+            "its trained checkpoint (see ops/f0_crepe.py) and is called "
+            "via get_f0_features_using_crepe."
         )
     hop_size = int(np.round(cfg.hop_length * speed))
+    if method == "harvest":
+        f0 = get_f0_features_using_harvest(
+            np.asarray(audio), mel_len, cfg.fs, hop_size,
+            float(cfg.f0_min), float(cfg.f0_max),
+        )
+        f0 = np.pad(f0, (0, max(0, mel_len - len(f0))))
+        coarse = f0_to_coarse(f0, cfg.pitch_bin, cfg.pitch_min, cfg.pitch_max)
+        return f0, coarse
     if method == "dio":
         f0 = get_f0_features_using_dio(
             np.asarray(audio), mel_len, cfg.fs, hop_size,
@@ -365,8 +373,17 @@ def get_f0_features_using_dio(audio, mel_len, fs, hop_length, f0_min, f0_max):
 
 
 def get_f0_features_using_harvest(audio, mel_len, fs, hop_length, f0_min, f0_max):
-    """pyworld harvest backend (utils/f0.py:191-211) — unavailable."""
-    _unavailable("harvest", "pyworld")
+    """Harvest backend — the reference's pyworld call (utils/f0.py:191-211)
+    re-derived natively (ops/f0_harvest.py): frame_period = 1000·hop/fs,
+    truncated to mel_len."""
+    from svc_inference_pipeline_tpu.ops.f0_harvest import harvest
+
+    f0, _t = harvest(
+        np.asarray(audio, dtype=np.float64), fs,
+        f0_floor=float(f0_min), f0_ceil=float(f0_max),
+        frame_period=1000.0 * hop_length / fs,
+    )
+    return f0.astype(np.float64)[:mel_len]
 
 
 def get_f0_features_using_crepe(audio, mel_len, fs, hop_length, hop_length_new,
