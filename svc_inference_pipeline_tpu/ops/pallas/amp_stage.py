@@ -71,6 +71,20 @@ def _block_halo(k: int, dils: Sequence[int]) -> int:
     return sum(_pair_halo(k, d) for d in dils)
 
 
+_SIN2_COEFFS = None
+
+
+def _sin2_coeffs():
+    """cos(2πy) ≈ Σ c_k (y²)^k on y ∈ [−½, ½] (degree 6 in y², ~1e-8 max
+    err). Compile-time constants for the in-kernel sin² polynomial."""
+    global _SIN2_COEFFS
+    if _SIN2_COEFFS is None:
+        y = np.linspace(-0.5, 0.5, 4001)
+        c = np.polyfit(y * y, np.cos(2 * np.pi * y), 6)
+        _SIN2_COEFFS = [float(v) for v in c]  # highest power first
+    return _SIN2_COEFFS
+
+
 def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -79,6 +93,22 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
     n_blocks = len(ks)
     cw = LANE // g  # channels per phase group
     r_total = (t_tile + 2 * halo) // g  # fixed row count of every tensor
+    sin2_c = _sin2_coeffs()
+    inv_pi = float(1.0 / np.pi)
+
+    def sin2(u):
+        """sin²(u) = ½(1 − cos(2u)) via range-reduced even polynomial —
+        ~12 VPU ops vs ~50 for the transcendental sin lowering; the snake
+        sandwiches are the kernel's VPU floor (36 sins/sample). Reduction
+        error grows ~|u|·ε; at production activation scales it stays well
+        under the bf16 storage noise of the surrounding signal."""
+        r = u * inv_pi
+        y = r - jnp.floor(r + 0.5)
+        t = y * y
+        c = sin2_c[0]
+        for coef in sin2_c[1:]:
+            c = c * t + coef
+        return 0.5 - 0.5 * c
 
     def tshift(a, s: int):
         """Shift content ``s`` time-steps toward row 0 (packed layout);
@@ -115,8 +145,8 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
             odd = odd + tshift(a, m + 3) * odd_up[m]
         even = 2.0 * even
         odd = 2.0 * odd
-        even = even + inv_beta * jnp.square(jnp.sin(even * alpha))
-        odd = odd + inv_beta * jnp.square(jnp.sin(odd * alpha))
+        even = even + inv_beta * sin2(even * alpha)
+        odd = odd + inv_beta * sin2(odd * alpha)
         out = odd * down_odd[0] + tshift(even, 1) * down_even[0]
         for m in range(1, 6):
             out = out + tshift(odd, m) * down_odd[m]
