@@ -74,9 +74,10 @@ def main():
     wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
     log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape} {wave.dtype}")
 
-    # timed runs
+    # timed runs: the tunnel adds ±20-35 ms of per-call jitter — 7 samples
+    # give a stable median (3 samples can swing the RTF by ±0.003)
     times = []
-    for i in range(3):
+    for i in range(7):
         t0 = time.time()
         wave = pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True, upload_pcm16=True)
         times.append(time.time() - t0)
@@ -103,7 +104,7 @@ def main():
     pipe.set_sampler("plms")
     pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)  # compile
     plms_times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
         pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True, upload_pcm16=True)
         plms_times.append(time.time() - t0)
