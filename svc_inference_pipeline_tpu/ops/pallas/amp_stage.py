@@ -85,13 +85,14 @@ def _sin2_coeffs():
     return _SIN2_COEFFS
 
 
-def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
+def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
+                 w_lanes: int = LANE):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     even_up, odd_up, down_even, down_odd = taps
     n_blocks = len(ks)
-    cw = LANE // g  # channels per phase group
+    cw = w_lanes // g  # channels per phase group
     r_total = (t_tile + 2 * halo) // g  # fixed row count of every tensor
     sin2_c = _sin2_coeffs()
     inv_pi = float(1.0 / np.pi)
@@ -122,14 +123,14 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
         r1, p = divmod(s, g)
         # zero-pad rows first: both concat operands are offset-free
         ap = jnp.concatenate(
-            [a, jnp.zeros((r1 + 1, LANE), a.dtype)], axis=0
+            [a, jnp.zeros((r1 + 1, w_lanes), a.dtype)], axis=0
         )
         if p == 0:
             return ap[r1 : r1 + r_total]
-        rolled = pltpu.roll(ap, LANE - p * cw, 1)  # lane l ← lane l + p·cw (mod 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (r_total, LANE), 1)
+        rolled = pltpu.roll(ap, w_lanes - p * cw, 1)  # lane l ← lane l + p·cw (mod 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r_total, w_lanes), 1)
         return jnp.where(
-            lane < LANE - p * cw,
+            lane < w_lanes - p * cw,
             rolled[r1 : r1 + r_total],
             rolled[r1 + 1 : r1 + 1 + r_total],
         )
@@ -209,7 +210,7 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1):
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((r_total, LANE), x_hbm.dtype),
+            pltpu.VMEM((r_total, w_lanes), x_hbm.dtype),
             pltpu.SemaphoreType.DMA,
         )
 
@@ -256,22 +257,26 @@ def fused_amp_stage(
     interpret = interpret or jax.default_backend() != "tpu"
 
     b, t, c = x.shape
-    assert c <= LANE, c
+    assert c <= 3 * LANE, c
     dtype = x.dtype
     n_blocks = len(ks)
 
-    # phase packing: fold g consecutive time-steps into the 128 lanes
+    # phase packing: fold g consecutive time-steps into the 128 lanes when
+    # the channel count is narrow; for C > 128 the arrays simply widen to
+    # the next lane-tile multiple (g = 1 → no lane rolls anywhere)
     g = 4 if c <= 32 else (2 if c <= 64 else 1)
     if _DEBUG["force_g"] is not None:
         g = _DEBUG["force_g"]
         assert c <= LANE // g
-    cw = LANE // g  # channel slots per phase
+    w_lanes = LANE if g > 1 else _round_up(max(c, LANE), LANE)
+    cw = w_lanes // g  # channel slots per phase (g=1: the full width)
 
     halo = _round_up(max(_block_halo(k, d) for k, d in zip(ks, dils_per_block)), 16)
-    t_tile = min(t_tile, _round_up(t, 16))
+    # wider arrays (C > 128) scale the tile down to hold VMEM footprint
+    t_tile = min(t_tile * LANE // w_lanes, _round_up(t, 16))
     t_tile = _round_up(t_tile, 8 * g)
 
-    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g)
+    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g, w_lanes)
 
     # effective act params (exp folded for logscale): rows per pair j are
     # (alpha1, 1/beta1, alpha2, 1/beta2) at 4j..4j+3, padded to 128 lanes
@@ -312,24 +317,24 @@ def fused_amp_stage(
         operands += [w, bias, act]
         n_pairs = len(pairs)
         specs += [
-            pl.BlockSpec((2 * n_pairs * k, LANE, LANE), lambda bi, ti: (0, 0, 0),
+            pl.BlockSpec((2 * n_pairs * k, w_lanes, w_lanes), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n_pairs, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * n_pairs, LANE), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_pairs, w_lanes), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * n_pairs, w_lanes), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ]
 
     t_pad = _round_up(t, t_tile)
     xp = jnp.pad(x, [(0, 0), (halo, halo + t_pad - t), (0, cw - c)])
     # pack: [B, T', cw] → [B, T'/g, g·cw=128]; lane p·cw + ch ↔ time-phase p
-    xp = xp.reshape(b, (t_pad + 2 * halo) // g, LANE)
+    xp = xp.reshape(b, (t_pad + 2 * halo) // g, w_lanes)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad // g, LANE), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad // g, w_lanes), dtype),
         grid=(b, t_pad // t_tile),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + specs,
         out_specs=pl.BlockSpec(
-            (1, t_tile // g, LANE), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            (1, t_tile // g, w_lanes), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
