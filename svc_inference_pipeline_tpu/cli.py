@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", action="store_true", help="random-init models (no checkpoints needed)")
     p.add_argument("--whisper-size", default="tiny", help="whisper size when random-init (tiny…large)")
     p.add_argument("--cpu", action="store_true", help="force local CPU execution")
+    p.add_argument("--bucket", type=int, default=None,
+                   help="frame padding granularity (smaller = less padded compute, more compiled variants)")
+    p.add_argument("--pcm16-io", action="store_true",
+                   help="int16 device transfers both ways (halves host<->device bytes)")
     p.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace to DIR")
     return p
 
@@ -61,7 +65,8 @@ def main(argv=None) -> int:
 
     print(f"Loading models ({'random weights' if args.random_weights else 'checkpoints'})...")
     pipe = SVCPipeline.from_config(
-        cfg, random_weights=args.random_weights, whisper_size=args.whisper_size, seed=args.seed
+        cfg, random_weights=args.random_weights, whisper_size=args.whisper_size,
+        seed=args.seed, **({"bucket": args.bucket} if args.bucket else {})
     )
 
     start = time.time()
@@ -70,7 +75,8 @@ def main(argv=None) -> int:
 
     if len(args.input) == 1:
         waves = [
-            pipe.convert(args.input[0], args.singer[0], key=jax.random.PRNGKey(args.seed))
+            pipe.convert(args.input[0], args.singer[0], key=jax.random.PRNGKey(args.seed),
+                         upload_pcm16=args.pcm16_io)
         ]
     else:
         waves = pipe.convert_batch(
