@@ -94,11 +94,24 @@ def main():
 
     arrays = {k: jnp.asarray(v) for k, v in batch.items()}
     padded = batch["melody"].shape[1]
+
+    def run_core():
+        out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
+                         arrays, key, jnp.asarray([padded], jnp.int32), n_frames=padded)
+        out.block_until_ready()
+
     t0 = time.time()
-    out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
-                     arrays, key, jnp.asarray([padded], jnp.int32), n_frames=padded)
-    out.block_until_ready()
-    log(f"core (cond+ddpm1000+vocoder): {time.time() - t0:.3f}s")
+    run_core()  # may compile (the pcm16=False executable)
+    log(f"core first call (may compile): {time.time() - t0:.3f}s")
+    core_times = []
+    for _ in range(5):
+        t0 = time.time()
+        run_core()
+        core_times.append(time.time() - t0)
+    core_rtf = float(np.median(core_times) / duration)
+    log(f"core (cond+ddpm1000+vocoder): {np.median(core_times):.3f}s → RTF {core_rtf:.4f} "
+        "(device + one tunnel round trip; the e2e number adds upload/fetch RTs that a "
+        "co-located host would not pay)")
 
     # the supported fast path (working PLMS — the reference's own crashes)
     pipe.set_sampler("plms")
@@ -118,6 +131,7 @@ def main():
         "vs_baseline": 0.05 / rtf,
         "plms10_rtf_10s": plms_rtf,
         "plms10_vs_baseline": 0.05 / plms_rtf,
+        "core_rtf_10s_ddpm1000": core_rtf,
     }))
 
 
