@@ -140,7 +140,11 @@ def main():
     f_u2 = run("base", 2)
     timed("baseline unroll=2 (200 steps)", lambda: float(f_u2(params, cond, key)[0]))
     f_cu2 = run("concat", 2)
-    timed("concat-tap unroll=2 (200 steps)", lambda: float(f_cu2(params, cond, key)[0]))
+    timed("concat-tap unroll=2 (200 steps)", lambda: float(f_cu2(params, cond, key)[0]), n=6)
+    f_cu4 = run("concat", 4)
+    timed("concat-tap unroll=4 (200 steps)", lambda: float(f_cu4(params, cond, key)[0]), n=6)
+    f_cu8 = run("concat", 8)
+    timed("concat-tap unroll=8 (200 steps)", lambda: float(f_cu8(params, cond, key)[0]), n=6)
 
     a = np.asarray(f_base(params, cond, key)[1])
     b = np.asarray(f_cat(params, cond, key)[1])

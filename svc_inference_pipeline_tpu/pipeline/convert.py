@@ -473,24 +473,34 @@ class SVCPipeline:
         n_frames = min(mel_len, n_windows * 1500 * 15 // 8)
         padded = pad_to_bucket(n_frames, self.bucket)
 
-        if upload_pcm16 and audio.dtype == np.float32:
-            dev_audio = np.clip(
-                np.round(audio * 32768.0), -32768, 32767
-            ).astype(np.int16)
-        else:
-            dev_audio = audio
-        energy, content = self._frontend_device(  # async dispatch
-            self.whisper.params,
-            jnp.asarray(dev_audio),
-            n_windows=n_windows,
-            n_frames=n_frames,
-            padded=padded,
-        )
+        # host F0 on a worker thread, started BEFORE the (blocking-ish)
+        # audio upload: the F0 tracker runs on host CPU concurrently with
+        # the upload AND the device-side whisper chain, so the device never
+        # idles waiting for Python to finish pitch tracking
+        from concurrent.futures import ThreadPoolExecutor
 
-        # host F0 runs while the device computes the whisper chain
-        f0, _ = get_f0_features(audio, n_frames, cfg)
-        f0 = pitch_shift(f0, cfg)
-        f0 = np.pad(f0[:n_frames], (0, padded - n_frames)).astype(np.float32)
+        def _f0_job():
+            f0, _ = get_f0_features(audio, n_frames, cfg)
+            f0 = pitch_shift(f0, cfg)
+            return np.pad(f0[:n_frames], (0, padded - n_frames)).astype(np.float32)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f0_future = pool.submit(_f0_job)
+
+            if upload_pcm16 and audio.dtype == np.float32:
+                dev_audio = np.clip(
+                    np.round(audio * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            else:
+                dev_audio = audio
+            energy, content = self._frontend_device(  # async dispatch
+                self.whisper.params,
+                jnp.asarray(dev_audio),
+                n_windows=n_windows,
+                n_frames=n_frames,
+                padded=padded,
+            )
+            f0 = f0_future.result()
 
         singer = get_singer_id(cfg, singer_name)
         batch = {
