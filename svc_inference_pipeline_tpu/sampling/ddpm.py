@@ -63,14 +63,15 @@ def ddpm_sample(
     shape: Sequence[int],
     schedule: DiffusionSchedule,
     clip_denoised: bool = True,
-    unroll: int = 2,
+    unroll: int = 8,
 ) -> jnp.ndarray:
     """Full reverse process → x₀ of ``shape`` [B, T, M].
 
     ``denoise_fn(x [B,T,M], cond [B,T,D], t [B,1]) → ε [B,T,M]``.
     ``unroll`` duplicates the step body in the compiled loop (identical
-    numerics; measured ~3% faster at unroll=2 on v5e — amortised loop
-    bookkeeping).
+    numerics; measured ~9% faster at unroll=8 on v5e — amortised loop
+    bookkeeping and cross-step scheduling). The largest divisor of
+    ``num_steps`` not exceeding it is used.
     """
     num_steps = schedule.num_steps
     key, init_key = jax.random.split(key)
@@ -84,9 +85,8 @@ def ddpm_sample(
         return x, None
 
     ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
-    x, _ = jax.lax.scan(
-        body, x, (ts, step_keys), unroll=unroll if num_steps % unroll == 0 else 1
-    )
+    unroll_eff = max(u for u in range(1, unroll + 1) if num_steps % u == 0)
+    x, _ = jax.lax.scan(body, x, (ts, step_keys), unroll=unroll_eff)
     return x
 
 
