@@ -547,6 +547,26 @@ class SVCPipeline:
             save_audio(output_path, audio, self.cfg.fs, turn_up=not pcm16)
         return audio
 
+    def convert_streaming(
+        self,
+        wav: Union[str, np.ndarray],
+        singer_name: str,
+        chunk_seconds: float = 10.0,
+        context_seconds: float = 1.0,
+        key: Optional[jax.Array] = None,
+        upload_pcm16: bool = False,
+    ):
+        """Generator of converted chunks (pipeline/streaming.py): bounded
+        time-to-first-audio and O(chunk) memory for arbitrarily long input;
+        equal-power crossfades at seams; one compiled executable."""
+        from svc_inference_pipeline_tpu.pipeline.streaming import stream_convert
+
+        return stream_convert(
+            self, wav, singer_name,
+            chunk_seconds=chunk_seconds, context_seconds=context_seconds,
+            key=key, upload_pcm16=upload_pcm16,
+        )
+
     def convert_multi_singer(
         self,
         wav: Union[str, np.ndarray],
