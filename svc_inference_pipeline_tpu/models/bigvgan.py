@@ -215,8 +215,31 @@ class Activation1d(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _ConvKernel(nn.Module):
+    """nn.Conv-compatible parameter holder (kernel [k, Cin, Cout] + bias)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class TorchConv1d(nn.Module):
-    """Conv1d with torch's symmetric padding p = d(k-1)/2 (same length)."""
+    """Conv1d with torch's symmetric padding p = d(k-1)/2 (same length).
+
+    Computed as ONE concat-tap matmul ([T, k·Cin] @ [k·Cin, Cout]) instead
+    of ``conv_general_dilated`` — XLA's NWC conv lowering runs the big
+    dilated vocoder convs at ~18% MXU, the im2col matmul at ~2-3× that
+    (profiled on v5e; the same trick the denoiser scan uses). Parameter
+    tree is unchanged (``conv/kernel`` [k, Cin, Cout], ``conv/bias``)."""
 
     features: int
     kernel_size: int
@@ -225,15 +248,22 @@ class TorchConv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = self.dilation * (self.kernel_size - 1) // 2
-        return nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            padding=[(pad, pad)],
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        k, d = self.kernel_size, self.dilation
+        pad = d * (k - 1) // 2
+        cin = x.shape[-1]
+        kernel, bias = _ConvKernel(self.features, k, name="conv")(cin)
+        dtype = self.dtype or x.dtype
+        xb = x.astype(dtype)
+        if k == 1:
+            y = xb @ kernel[0].astype(dtype)
+        else:
+            t_len = x.shape[1]
+            xp = jnp.pad(xb, [(0, 0), (pad, pad + max(0, d * (k - 1) - 2 * pad)), (0, 0)])
+            taps = jnp.concatenate(
+                [xp[:, m * d : m * d + t_len] for m in range(k)], axis=-1
+            )  # [B, T, k·Cin]
+            y = taps @ kernel.reshape(k * cin, self.features).astype(dtype)
+        return y + bias.astype(y.dtype)
 
 
 class TorchConvTranspose1d(nn.Module):
@@ -259,16 +289,28 @@ class TorchConvTranspose1d(nn.Module):
             (k, self.features, cin),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        # lhs-dilated correlation with flipped kernel ≡ transposed conv
-        w = jnp.flip(kernel, axis=0).transpose(0, 2, 1)  # [K, Cin, Cout]
-        y = jax.lax.conv_general_dilated(
-            x,
-            w.astype(self.dtype or x.dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(u,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        # polyphase decomposition as matmuls: torch's
+        #   y[o] = Σ_{i: 0 ≤ o+p−u·i < k} x[i] @ K[o+p−u·i]ᵀ
+        # at o = u·t + r becomes, with j = t − i,
+        #   y_r[t] = Σ_j x[t−j] @ K[u·j + r + p]ᵀ  (j spans ≤ ⌈k/u⌉ values)
+        # — u phase matmuls interleaved by reshape, instead of XLA's
+        # lhs-dilated conv over a half-zeros input (measured ~2× faster)
+        dtype = self.dtype or x.dtype
+        t_len = x.shape[1]
+        max_j = (k - 1) // u + 1
+        xp = jnp.pad(x.astype(dtype), [(0, 0), (max_j, max_j), (0, 0)])
+        phases = []
+        for r in range(u):
+            acc = None
+            for j in range(-max_j, max_j + 1):
+                m = u * j + r + p
+                if not (0 <= m < k):
+                    continue
+                w = kernel[m].T.astype(dtype)  # [Cin, Cout]
+                seg = xp[:, max_j - j : max_j - j + t_len] @ w
+                acc = seg if acc is None else acc + seg
+            phases.append(acc)
+        y = jnp.stack(phases, axis=2).reshape(x.shape[0], t_len * u, self.features)
         return y + bias.astype(y.dtype)
 
 

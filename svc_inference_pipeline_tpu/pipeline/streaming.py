@@ -56,8 +56,8 @@ def stream_convert(
 
     key = key if key is not None else jax.random.PRNGKey(0)
     chunk = int(round(chunk_seconds * fs))
-    ctx = int(round(context_seconds * fs))
-    assert chunk > 2 * ctx > 0, (chunk, ctx)
+    # context clamps to a quarter chunk so tiny chunk sizes stay valid
+    ctx = max(1, min(int(round(context_seconds * fs)), chunk // 4))
 
     if len(audio) <= chunk + ctx:
         yield pipe.convert(audio, singer_name, key=key, upload_pcm16=upload_pcm16)

@@ -124,6 +124,29 @@ class SVCServer:
             out.seek(0)
             return open(out.name, "rb").read()
 
+    def convert_stream_pcm(self, wav_bytes: bytes, singer: str,
+                           chunk_seconds: float = 10.0):
+        """Generator of raw PCM16 byte chunks (pipeline/streaming.py).
+
+        Bypasses the coalescing queue: a stream holds the device for its
+        whole duration, so it runs directly (chunks still share the one
+        compiled executable with every other stream of the same length)."""
+        from svc_inference_pipeline_tpu.utils.audio_io import load_audio
+        from svc_inference_pipeline_tpu.utils.registry import get_singer_id
+
+        get_singer_id(self.cfg, singer)  # KeyError → 400 before streaming
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav_bytes)
+            f.flush()
+            audio, _ = load_audio(f.name, self.cfg.fs)
+
+        for piece in self.pipeline.convert_streaming(
+            np.asarray(audio), singer, chunk_seconds=chunk_seconds
+        ):
+            self.conversions += 1
+            pcm = np.clip(np.round(np.asarray(piece) * 32767.0), -32768, 32767)
+            yield pcm.astype("<i2").tobytes()
+
     def handler_class(self):
         server = self
 
@@ -184,6 +207,36 @@ class SVCServer:
                     self._json(400, {"error": "empty body (expected WAV bytes)"})
                     return
                 body = self.rfile.read(length)
+                if query.get("stream", ["0"])[0] in ("1", "true"):
+                    # chunked raw PCM16 @ cfg.fs: each converted chunk is
+                    # flushed as soon as the pipeline yields it — time to
+                    # first audio is O(chunk), not O(clip)
+                    try:
+                        chunk_s = float(query.get("chunk_seconds", ["10"])[0])
+                        gen = server.convert_stream_pcm(body, singer, chunk_s)
+                        first = next(gen)  # raise before headers if broken
+                    except KeyError as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    except Exception as e:  # noqa: BLE001
+                        self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/L16")
+                    self.send_header("X-Sample-Rate", str(server.cfg.fs))
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def emit(data: bytes) -> None:
+                        self.wfile.write(f"{len(data):X}\r\n".encode())
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+
+                    emit(first)
+                    for piece in gen:
+                        emit(piece)
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
                 try:
                     out = server.convert_bytes(body, singer)
                 except KeyError as e:

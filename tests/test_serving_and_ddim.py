@@ -124,3 +124,28 @@ def test_convert_endpoint_errors(http_server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "singer" in json.loads(e.read())["error"]
+
+
+def test_convert_stream_endpoint(http_server, tmp_path):
+    """?stream=1 → chunked raw PCM16; pieces arrive and concatenate to the
+    clip length (short input degrades to a single chunk)."""
+    from svc_inference_pipeline_tpu.utils.audio_io import write_wav
+
+    fs = 24000
+    t = np.arange(2 * fs) / fs
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = tmp_path / "in.wav"
+    write_wav(str(path), wav, fs)
+
+    req = urllib.request.Request(
+        f"{http_server}/convert?singer=svcc_CDF1&stream=1&chunk_seconds=1",
+        data=open(path, "rb").read(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"] == "audio/L16"
+        assert int(r.headers["X-Sample-Rate"]) == fs
+        raw = r.read()  # urllib de-chunks transparently
+    pcm = np.frombuffer(raw, dtype="<i2")
+    assert len(pcm) == len(wav)
+    assert np.abs(pcm).max() > 50  # non-silent
