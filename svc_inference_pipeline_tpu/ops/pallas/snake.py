@@ -56,6 +56,22 @@ def _make_kernel(t_tile: int, even_up, odd_up, down_even, down_odd):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from svc_inference_pipeline_tpu.ops.pallas.amp_stage import _sin2_coeffs
+
+    sin2_c = _sin2_coeffs()
+    inv_pi = float(1.0 / np.pi)
+
+    def sin2(u):
+        """sin²(u) via range-reduced even polynomial (see amp_stage.sin2) —
+        ~4× cheaper than the transcendental sin lowering on the VPU."""
+        r = u * inv_pi
+        y = r - jnp.floor(r + 0.5)
+        t = y * y
+        c = sin2_c[0]
+        for coef in sin2_c[1:]:
+            c = c * t + coef
+        return 0.5 - 0.5 * c
+
     n_phase = t_tile + 6  # rows of each up-phase feeding the decimator
 
     def kernel(x_hbm, alpha_ref, inv_beta_ref, out_ref):
@@ -93,8 +109,8 @@ def _make_kernel(t_tile: int, even_up, odd_up, down_even, down_odd):
             odd = 2.0 * odd
             alpha32 = alpha.astype(jnp.float32)
             inv_beta32 = inv_beta.astype(jnp.float32)
-            even = even + inv_beta32 * jnp.square(jnp.sin(even * alpha32))
-            odd = odd + inv_beta32 * jnp.square(jnp.sin(odd * alpha32))
+            even = even + inv_beta32 * sin2(even * alpha32)
+            odd = odd + inv_beta32 * sin2(odd * alpha32)
 
             out = odd[0:t_tile, :] * down_odd[0] + even[1 : 1 + t_tile, :] * down_even[0]
             for m in range(1, 6):
