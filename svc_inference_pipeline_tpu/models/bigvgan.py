@@ -486,14 +486,13 @@ class BigVGANGenerator(nn.Module):
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = TorchConvTranspose1d(ch, k, u, name=f"up_{i}", dtype=dtype)(x)
-            # stages with C ≤ 384: the ENTIRE 3-block group — 18 convs,
-            # 18 snake sandwiches, residuals and the mean — runs as ONE
-            # fused Pallas kernel (ops/pallas/amp_stage.py; C ≤ 64 also
-            # phase-packs time-steps into the idle lanes). Only stage 0
-            # (C = 768, whose per-block weights alone exceed VMEM) keeps
-            # the composed path.
+            # EVERY stage runs as ONE fused Pallas kernel — 18 convs,
+            # 18 snake sandwiches, residuals and the mean per launch
+            # (ops/pallas/amp_stage.py). C ≤ 64 phase-packs time-steps
+            # into the idle lanes; C = 768 streams its weights from HBM
+            # one conv at a time (the full set would blow VMEM).
             fuse_stage = (
-                self.use_pallas and ch <= 384 and cfg.resblock == "1"
+                self.use_pallas and ch <= 768 and cfg.resblock == "1"
             )
             if fuse_stage:
                 from svc_inference_pipeline_tpu.ops.pallas.amp_stage import fused_amp_stage

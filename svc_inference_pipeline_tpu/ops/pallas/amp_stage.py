@@ -86,7 +86,7 @@ def _sin2_coeffs():
 
 
 def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
-                 w_lanes: int = LANE):
+                 w_lanes: int = LANE, streamed: bool = False, w_dtype=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,23 +154,21 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
             out = out + tshift(even, m + 1) * down_even[m]
         return out
 
-    def conv(a, w_ref, b_ref, idx, k, dil):
-        """k tap-shifted [128,128] matmuls (bf16 in, f32 acc); the weights
-        are block-diagonal kron(I_g, W) under packing.
-
-        ``w_ref`` holds the block's 6 convs stacked as [6k, 128, 128]; conv
-        ``idx``'s tap m is row idx·k + m."""
+    def conv(a, taps, b_ref, idx, k, dil):
+        """k tap-shifted [W,W] matmuls (bf16 in, f32 acc); ``taps`` is the
+        list of the conv's k weight matrices (VMEM-resident slices, or
+        reads of the streamed scratch buffer)."""
         if _DEBUG["no_conv"]:
             return tshift(a, dil * (k - 1)) + b_ref[idx]
         # tshift rotates lanes — Mosaic only rotates 32-bit data, so shift
         # in f32 and cast each tap operand to the weight dtype after
         acc = jnp.dot(
-            a.astype(w_ref.dtype), w_ref[idx * k], preferred_element_type=jnp.float32
+            a.astype(taps[0].dtype), taps[0], preferred_element_type=jnp.float32
         )
         for m in range(1, k):
             acc = acc + jnp.dot(
-                tshift(a, m * dil).astype(w_ref.dtype),
-                w_ref[idx * k + m],
+                tshift(a, m * dil).astype(taps[m].dtype),
+                taps[m],
                 preferred_element_type=jnp.float32,
             )
         return acc + b_ref[idx]
@@ -182,7 +180,7 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         bi = pl.program_id(0)
         ti = pl.program_id(1)
 
-        def body(tile_ref, sem):
+        def body(tile_ref, sem, wbuf=None, wsem=None):
             dma = pltpu.make_async_copy(
                 x_hbm.at[bi, pl.ds(ti * (t_tile // g), r_total), :],
                 tile_ref,
@@ -192,6 +190,21 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
             dma.wait()
             base = tile_ref[:].astype(jnp.float32)  # [r_total, 128]
 
+            def get_taps(w_ref, idx, k):
+                """Conv ``idx``'s k weight matrices. Wide stages (the full
+                weight set would blow VMEM) keep weights in HBM and DMA
+                one conv at a time into the scratch buffer — a ~13 MB
+                fetch (~16 µs at HBM bandwidth) ahead of a conv that
+                computes for hundreds of µs."""
+                if not streamed:
+                    return [w_ref[idx * k + m] for m in range(k)]
+                fetch = pltpu.make_async_copy(
+                    w_ref.at[pl.ds(idx * k, k)], wbuf.at[pl.ds(0, k)], wsem
+                )
+                fetch.start()
+                fetch.wait()
+                return [wbuf[m] for m in range(k)]
+
             acc = None
             for blk, (w_ref, b_ref, act_ref) in enumerate(blocks):
                 k = ks[blk]
@@ -199,20 +212,25 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
                 for j, d in enumerate(dils_per_block[blk]):
                     h = _pair_halo(k, d)
                     t1 = act1d(a, act_ref[4 * j], act_ref[4 * j + 1])
-                    t2 = conv(t1, w_ref, b_ref, 2 * j, k, d)
+                    t2 = conv(t1, get_taps(w_ref, 2 * j, k), b_ref, 2 * j, k, d)
                     t3 = act1d(t2, act_ref[4 * j + 2], act_ref[4 * j + 3])
-                    t4 = conv(t3, w_ref, b_ref, 2 * j + 1, k, 1)
+                    t4 = conv(t3, get_taps(w_ref, 2 * j + 1, k), b_ref, 2 * j + 1, k, 1)
                     a = tshift(a, h) + t4
                 surplus = halo - _block_halo(k, dils_per_block[blk])
                 out_b = tshift(a, surplus)[: t_tile // g]
                 acc = out_b if acc is None else acc + out_b
             out_ref[0] = (acc * (1.0 / n_blocks)).astype(out_ref.dtype)
 
-        pl.run_scoped(
-            body,
+        scopes = [
             pltpu.VMEM((r_total, w_lanes), x_hbm.dtype),
             pltpu.SemaphoreType.DMA,
-        )
+        ]
+        if streamed:
+            scopes += [
+                pltpu.VMEM((max(ks), w_lanes, w_lanes), w_dtype),
+                pltpu.SemaphoreType.DMA,
+            ]
+        pl.run_scoped(body, *scopes)
 
     return kernel
 
@@ -257,7 +275,7 @@ def fused_amp_stage(
     interpret = interpret or jax.default_backend() != "tpu"
 
     b, t, c = x.shape
-    assert c <= 3 * LANE, c
+    assert c <= 6 * LANE, c
     dtype = x.dtype
     n_blocks = len(ks)
 
@@ -276,7 +294,18 @@ def fused_amp_stage(
     t_tile = min(t_tile * LANE // w_lanes, _round_up(t, 16))
     t_tile = _round_up(t_tile, 8 * g)
 
-    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g, w_lanes)
+    w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    # weight residency: the full stage's weights ride VMEM when they fit;
+    # wide stages (C = 768: 149 MB even in bf16) keep them in HBM and the
+    # kernel streams one conv at a time through a scratch buffer
+    w_bytes = sum(
+        6 * k * w_lanes * w_lanes * (2 if w_dtype == jnp.bfloat16 else 4)
+        for k in ks
+    )
+    streamed = w_bytes > 48 * 1024 * 1024
+
+    kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g,
+                          w_lanes, streamed, w_dtype)
 
     # effective act params (exp folded for logscale): rows per pair j are
     # (alpha1, 1/beta1, alpha2, 1/beta2) at 4j..4j+3, padded to 128 lanes
@@ -288,8 +317,6 @@ def fused_amp_stage(
             a_e = al
             b_e = be if kind == "snakebeta" else al
         return a_e, 1.0 / (b_e + 1e-9)
-
-    w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
     # packed per-channel vectors: pad to cw, then tile over the g phases
     def pack_vec(v, fill):
@@ -317,6 +344,7 @@ def fused_amp_stage(
         operands += [w, bias, act]
         n_pairs = len(pairs)
         specs += [
+            pl.BlockSpec(memory_space=pl.ANY) if streamed else
             pl.BlockSpec((2 * n_pairs * k, w_lanes, w_lanes), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * n_pairs, w_lanes), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),

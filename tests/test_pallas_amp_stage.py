@@ -32,7 +32,7 @@ PROD_KS = (3, 7, 11)
 PROD_DILS = ((1, 3, 5),) * 3
 
 
-@pytest.mark.parametrize("t,c", [(800, 24), (1100, 96), (700, 192), (520, 384)])
+@pytest.mark.parametrize("t,c", [(800, 24), (1100, 96), (700, 192), (520, 384), (400, 768)])
 def test_fused_stage_matches_xla(t, c):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, t, c)) * 0.5, jnp.float32)
