@@ -445,7 +445,8 @@ class SVCPipeline:
         return batch, frame_counts
 
     def extract_features(self, wav: Union[str, np.ndarray], singer_name: str,
-                         upload_pcm16: bool = False):
+                         upload_pcm16: bool = False,
+                         pitch_factor: Optional[float] = None):
         """Front-end: (batch dict padded to bucket, true frame count).
 
         Device work (mel energy, whisper encode, remap) is dispatched first
@@ -454,6 +455,9 @@ class SVCPipeline:
         (half the host→device bytes; ~20 ms on a 10 s clip over the
         tunnel) — lossless when the source was 16-bit PCM, ≤ ±2⁻¹⁶
         otherwise; the host F0 path always sees the float signal.
+        ``pitch_factor`` overrides the per-utterance median pitch shift
+        with a fixed multiplier (the streaming path pins it from the first
+        chunk so a long stream's target pitch doesn't wobble).
         """
         cfg = self.cfg
         if isinstance(wav, str):
@@ -481,7 +485,10 @@ class SVCPipeline:
 
         def _f0_job():
             f0, _ = get_f0_features(audio, n_frames, cfg)
-            f0 = pitch_shift(f0, cfg)
+            if pitch_factor is not None:
+                f0 = f0 * pitch_factor
+            else:
+                f0 = pitch_shift(f0, cfg)
             return np.pad(f0[:n_frames], (0, padded - n_frames)).astype(np.float32)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -519,6 +526,7 @@ class SVCPipeline:
         output_path: Optional[str] = None,
         pcm16: bool = False,
         upload_pcm16: bool = False,
+        pitch_factor: Optional[float] = None,
     ) -> np.ndarray:
         """Convert one utterance to the target singer → waveform @ cfg.fs.
 
@@ -528,7 +536,9 @@ class SVCPipeline:
         upload too (see :meth:`extract_features`).
         """
         key = key if key is not None else jax.random.PRNGKey(int(time.time_ns() % 2**31))
-        batch, n_frames = self.extract_features(wav, singer_name, upload_pcm16=upload_pcm16)
+        batch, n_frames = self.extract_features(
+            wav, singer_name, upload_pcm16=upload_pcm16, pitch_factor=pitch_factor
+        )
         padded = batch["melody"].shape[1]
 
         wave = self._core(

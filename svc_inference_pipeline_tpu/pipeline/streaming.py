@@ -75,15 +75,6 @@ def stream_convert(
         target = get_target_f0_median(cfg.target_f0_file)
         factor = target / float(np.median(voiced))
 
-    from unittest.mock import patch
-
-    from svc_inference_pipeline_tpu.utils import artifacts as _arts
-
-    def _pinned_pitch_shift(f0, _cfg):
-        if factor is None:
-            return _arts.pitch_shift(f0, _cfg)
-        return f0 * factor
-
     starts = list(range(0, len(audio), chunk))
     tail_prev: Optional[np.ndarray] = None  # converted right-context of prev
     fade = None
@@ -95,11 +86,8 @@ def stream_convert(
         off = ctx - (s - lo)  # zero left-pad at the stream head
         seg[off : off + (hi - lo)] = audio[lo:hi]
         k = jax.random.fold_in(key, idx)
-        with patch.object(_arts, "pitch_shift", _pinned_pitch_shift), patch(
-            "svc_inference_pipeline_tpu.pipeline.convert.pitch_shift",
-            _pinned_pitch_shift,
-        ):
-            out = pipe.convert(seg, singer_name, key=k, upload_pcm16=upload_pcm16)
+        out = pipe.convert(seg, singer_name, key=k, upload_pcm16=upload_pcm16,
+                           pitch_factor=factor)
         out = np.asarray(out, dtype=np.float32)
 
         core_len = min(chunk, len(audio) - s)
