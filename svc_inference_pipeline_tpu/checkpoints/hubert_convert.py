@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Tuple
 
-import numpy as np
 
 from svc_inference_pipeline_tpu.checkpoints.torch_convert import (
     fold_weight_norm,

@@ -19,7 +19,7 @@ module), so checkpoints need no extra conversion.
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

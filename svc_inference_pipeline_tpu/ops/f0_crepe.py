@@ -32,7 +32,7 @@ This module re-implements that contract natively:
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -26,11 +26,9 @@ keep the padding lanes exactly zero), act ratios 2/2 with kernel 12.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from svc_inference_pipeline_tpu.models import bigvgan as _bg
 from svc_inference_pipeline_tpu.ops.pallas.snake import _phase_taps

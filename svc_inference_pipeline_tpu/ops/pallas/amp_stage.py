@@ -51,7 +51,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svc_inference_pipeline_tpu.models import bigvgan as _bg
 from svc_inference_pipeline_tpu.ops.pallas.amp_pair import _pair_halo, _xla_pair
 from svc_inference_pipeline_tpu.ops.pallas.snake import _phase_taps
 

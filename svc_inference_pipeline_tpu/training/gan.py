@@ -14,7 +14,7 @@ over the batch and the generator's channel TP rules.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import flax.struct
 import jax
