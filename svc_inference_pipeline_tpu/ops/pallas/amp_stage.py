@@ -26,20 +26,31 @@ d=(1,3,5)). Tiles DMA a ±HALO (=112, 16-row aligned) window so interior
 rows see their true neighbours; the outermost HALO output rows are patched
 by the caller with the exact XLA composition (global edge semantics).
 
-Restriction: C ≤ 128 (zero-padded to the 128-lane width), act ratios 2/2
-with kernel 12 — the production configuration for vocoder stages 3-5.
+Act ratios 2/2 with kernel 12 (the production configuration); EVERY
+generator stage (C = 24…768) runs through this one kernel, with three
+width regimes:
 
-Phase packing (the narrow-channel lever): at C = 24/48 a [T, C→128] layout
-leaves 81%/62% of every VPU lane idle — and the snake sandwiches are pure
-VPU work (24-tap FIRs + 2 sin per upsampled sample). Instead ``g = 128/cw``
-consecutive time-steps are folded into the lane dimension (cw = C rounded
-up to 32/64): lanes hold (phase p, channel c) at p·cw + c, i.e. the packed
-[T/g, 128] array is just [T, cw] flat. Time shifts become row shifts plus
-cw-aligned lane rotations (``tshift``), and each conv tap's [cw, cw] matmul
-becomes one [128, 128] block-diagonal matmul (kron(I_g, W)) — identical
-arithmetic, full lane occupancy. All intermediates keep a fixed row count;
-content shrinks leftward as halos are consumed and zero rows back-fill from
-the right, exactly mirroring the unpacked version's shrinking arrays.
+* **Phase packing, C ≤ 64**: a [T, C→128] layout would leave 81%/62% of
+  every VPU lane idle — and the snake sandwiches are pure VPU work
+  (24-tap FIRs + 2 sin² per upsampled sample). ``g = 128/cw`` consecutive
+  time-steps fold into the lane dimension (cw = C rounded up to 32/64):
+  lanes hold (phase p, channel c) at p·cw + c, i.e. the packed [T/g, 128]
+  array is just [T, cw] flat. Time shifts become row shifts plus
+  cw-aligned lane rotations (``tshift``), and each conv tap's [cw, cw]
+  matmul becomes one [128, 128] block-diagonal matmul (kron(I_g, W)) —
+  identical arithmetic, full lane occupancy. All intermediates keep a
+  fixed row count; content shrinks leftward as halos are consumed and
+  zero rows back-fill from the right, exactly mirroring an explicitly
+  shrinking-array formulation.
+* **Wide arrays, 128 < C ≤ 384**: g = 1, arrays widen to the next
+  lane-tile multiple — no lane rolls anywhere, tshift is a row slice.
+* **Streamed weights, C = 768**: the full stage weight set (149 MB bf16)
+  cannot ride VMEM; it stays in HBM and the kernel DMAs one conv's taps
+  at a time through a scratch buffer (~13 MB ≈ 16 µs at HBM bandwidth,
+  ahead of convs that compute for hundreds of µs).
+
+sin² is evaluated by a range-reduced even polynomial (~12 VPU ops vs ~50
+for the transcendental lowering — the snake sandwiches are the VPU floor).
 """
 
 from __future__ import annotations
