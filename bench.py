@@ -13,6 +13,15 @@ Prints ONE JSON line:
 vs_baseline is measured against the BASELINE.md target (RTF < 0.05 on one
 v5e chip): >1.0 means the target is beaten. Extra component timings go to
 stderr.
+
+Timeout discipline (round-2 lesson: the driver run hit rc 124 and the
+metric was never parsed): the headline JSON is printed IMMEDIATELY after
+the measured e2e block — before any stage that could trigger a fresh
+remote compile — and the optional PLMS fast-path extra only runs when the
+elapsed time says the compile caches are hitting (budget via
+``BENCH_BUDGET`` seconds, default 700). The core-RTF breakdown reuses the
+exact executable the e2e path compiled (same static arguments), so it
+never adds a compile.
 """
 
 import json
@@ -24,12 +33,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+START = time.time()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def elapsed():
+    return time.time() - START
+
+
 def main():
+    budget = float(os.environ.get("BENCH_BUDGET", 700))
+
     import jax
 
     # persistent compile cache: repeated bench runs skip the (remote) compiles
@@ -64,7 +81,7 @@ def main():
     # bucket=16: latency-tuned padding granularity (938 frames -> 944 not 960;
     # ~2% less DDPM/vocoder work; one compiled bucket per 16-frame class)
     pipe = SVCPipeline.from_config(cfg, random_weights=True, whisper_size="medium", bucket=16)
-    log(f"model build: {time.time() - t0:.1f}s")
+    log(f"model build: {time.time() - t0:.1f}s  (elapsed {elapsed():.0f}s)")
 
     key = jax.random.PRNGKey(0)
 
@@ -72,7 +89,8 @@ def main():
     # (peak-norm + int16 — the exact WAV payload)
     t0 = time.time()
     wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
-    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape} {wave.dtype}")
+    log(f"warm-up (incl. compile): {time.time() - t0:.1f}s, out {wave.shape} {wave.dtype}"
+        f"  (elapsed {elapsed():.0f}s)")
 
     # timed runs: the tunnel adds ±20-35 ms of per-call jitter — 7 samples
     # give a stable median (3 samples can swing the RTF by ±0.003)
@@ -84,25 +102,25 @@ def main():
     rtf = float(np.median(times) / duration)
     log(f"e2e times: {[f'{x:.3f}' for x in times]} → RTF {rtf:.4f} ({duration:.1f}s audio)")
 
-    # component breakdown (stderr only)
+    # core breakdown through the SAME compiled executable as convert()
+    # (identical static args incl. pcm16=True — round 2's separate
+    # pcm16=False executable cost a 515 s remote compile)
+    import jax.numpy as jnp
+
     t0 = time.time()
-    batch, n_frames = pipe.extract_features(audio, "svcc_CDF1")
+    batch, n_frames = pipe.extract_features(audio, "svcc_CDF1", upload_pcm16=True)
     fe_time = time.time() - t0
     log(f"front-end (mel+f0+whisper+pack): {fe_time:.3f}s")
 
-    import jax.numpy as jnp
-
     arrays = {k: jnp.asarray(v) for k, v in batch.items()}
     padded = batch["melody"].shape[1]
+    n_true = jnp.asarray([n_frames], jnp.int32)
 
     def run_core():
         out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
-                         arrays, key, jnp.asarray([padded], jnp.int32), n_frames=padded)
-        out.block_until_ready()
+                         arrays, key, n_true, n_frames=padded, pcm16=True)
+        np.asarray(out)  # fetch → one tunnel round trip, like convert()
 
-    t0 = time.time()
-    run_core()  # may compile (the pcm16=False executable)
-    log(f"core first call (may compile): {time.time() - t0:.3f}s")
     core_times = []
     for _ in range(5):
         t0 = time.time()
@@ -113,26 +131,33 @@ def main():
         "(device + one tunnel round trip; the e2e number adds upload/fetch RTs that a "
         "co-located host would not pay)")
 
-    # the supported fast path (working PLMS — the reference's own crashes)
+    # ---- headline metric: printed NOW, before anything that might compile ----
+    print(json.dumps({
+        "metric": "e2e_rtf_10s_ddpm1000",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": 0.05 / rtf,
+        "core_rtf_10s_ddpm1000": core_rtf,
+    }), flush=True)
+
+    # ---- optional extra: the working PLMS fast path (a different executable;
+    # only attempted when the compile caches are clearly hitting) ----
+    if elapsed() > budget:
+        log(f"skipping PLMS extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s "
+            "(a fresh remote compile could overrun the driver timeout)")
+        return
+
     pipe.set_sampler("plms")
+    t0 = time.time()
     pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)  # compile
+    log(f"plms compile+warm-up: {time.time() - t0:.1f}s  (elapsed {elapsed():.0f}s)")
     plms_times = []
     for i in range(5):
         t0 = time.time()
         pipe.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i), pcm16=True, upload_pcm16=True)
         plms_times.append(time.time() - t0)
     plms_rtf = float(np.median(plms_times) / duration)
-    log(f"plms@10 e2e RTF: {plms_rtf:.4f}")
-
-    print(json.dumps({
-        "metric": "e2e_rtf_10s_ddpm1000",
-        "value": rtf,
-        "unit": "rtf",
-        "vs_baseline": 0.05 / rtf,
-        "plms10_rtf_10s": plms_rtf,
-        "plms10_vs_baseline": 0.05 / plms_rtf,
-        "core_rtf_10s_ddpm1000": core_rtf,
-    }))
+    log(f"plms@10 e2e RTF: {plms_rtf:.4f} (vs_baseline {0.05 / plms_rtf:.2f})")
 
 
 if __name__ == "__main__":

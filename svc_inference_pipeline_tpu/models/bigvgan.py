@@ -282,6 +282,17 @@ class TorchConvTranspose1d(nn.Module):
     def __call__(self, x):
         k, u = self.kernel_size, self.stride
         p = (k - u) // 2
+        # the polyphase rewrite emits exactly T·u samples, which equals
+        # torch's (T−1)·u − 2p + k only when k − 2p == u — true for every
+        # BigVGAN config (k = 2u or odd k with p=(k−u)//2 rounding making
+        # k−2p==u+1 is NOT supported). Fail loudly outside that family
+        # instead of silently changing the output length.
+        if k - 2 * p != u:
+            raise ValueError(
+                f"TorchConvTranspose1d: kernel={k}, stride={u}, padding={p} "
+                f"gives torch output length (T-1)*{u} - {2 * p} + {k} != T*{u}; "
+                "the polyphase fast path only supports k - 2*(k-u)//2 == u"
+            )
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",

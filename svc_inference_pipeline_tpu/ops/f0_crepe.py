@@ -11,9 +11,10 @@ This module re-implements that contract natively:
 
 * **Model** (:class:`CrepeModel`): the CREPE convnet (Kim et al. 2018) in
   Flax — 6 conv blocks (filters 32·[32,4,4,4,8,16] at capacity "full",
-  kernels [512,64,…], first stride 4, maxpool 2 after each, batch-norm +
-  relu) on 1024-sample frames → 360 sigmoid pitch-bin logits, bins at 20
-  cents from 1997.379 cents (≈31.7 Hz) re 10 Hz.
+  kernels [512,64,…], first stride 4, each block conv→relu→batch-norm→
+  maxpool-2 in torchcrepe's order) on 1024-sample frames → 360 sigmoid
+  pitch-bin logits, bins at 20 cents from 1997.379 cents (≈31.7 Hz) re
+  10 Hz.
 * **Weights**: the CREPE checkpoint is a trained artifact torchcrepe
   downloads at install time; this environment has no egress, so
   :func:`load_crepe_params` converts a torchcrepe ``full.pth`` state dict
@@ -88,6 +89,8 @@ class CrepeModel:
                     np.float32,
                 ),
                 "bias": np.zeros((f,), np.float32),
+                "scale": np.ones((f,), np.float32),  # identity BN
+                "shift": np.zeros((f,), np.float32),
             }
             in_ch = f
         flat = self.filters[-1] * 4  # 1024 /4 /2^6 = 4 time positions
@@ -107,14 +110,19 @@ class CrepeModel:
         x = jnp.asarray(frames)[:, :, None]  # NWC
         for i, (k, s) in enumerate(zip(self.kernels, self.strides)):
             p = params[f"conv{i}"]
-            # torchcrepe pads each conv to "same" at its stride (first layer
-            # pad 254/256, rest 32/32)
-            pad = (k // 2 - 1, k // 2) if k % 2 == 0 else (k // 2, k // 2)
+            # torchcrepe's exact padding: first layer (254, 254), the rest
+            # (31, 32) — its layer() F.pads before every conv
+            pad = (254, 254) if i == 0 else (k // 2 - 1, k // 2)
             x = jax.lax.conv_general_dilated(
                 x, jnp.asarray(p["kernel"]), (s,), [pad],
                 dimension_numbers=("NWC", "WIO", "NWC"),
             ) + jnp.asarray(p["bias"])
             x = jax.nn.relu(x)
+            # torchcrepe applies BatchNorm AFTER the relu (conv→relu→BN→
+            # maxpool), so BN cannot be folded into the conv — it is kept
+            # as an inference-time per-channel affine here (scale/shift),
+            # applied before the pool exactly where torchcrepe applies it
+            x = x * jnp.asarray(p["scale"]) + jnp.asarray(p["shift"])
             # maxpool 2
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
@@ -128,9 +136,14 @@ class CrepeModel:
 def load_crepe_params(path: str, model: str = "full"):
     """Convert a torchcrepe ``full.pth``/``tiny.pth`` state dict.
 
-    Folds BatchNorm into the preceding conv (inference-only), transposes
-    torch [out, in, k] conv kernels to WIO, and the classifier to
-    [in, out]. torch's Conv1d on NCW matches our NWC path exactly."""
+    torchcrepe's layer order is conv→relu→BatchNorm→maxpool, so BN cannot
+    be folded into the conv (the relu sits in between); it becomes an
+    inference-time per-channel affine (scale = γ/√(σ²+ε), shift = β−μ·scale)
+    applied after the relu. Conv kernels transpose from torch [out, in, k]
+    (or 2-D [out, in, k, 1]) to WIO, the classifier to [in, out]; torch's
+    conv on NCW matches our NWC path exactly. Oracle-tested against a
+    torch re-implementation of torchcrepe's forward on synthetic
+    checkpoints (tests/test_f0_crepe.py)."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
@@ -138,21 +151,22 @@ def load_crepe_params(path: str, model: str = "full"):
         sd = sd.state_dict()
     params = {}
     for i in range(6):
-        w = sd[f"conv{i + 1}.weight"].numpy()  # [out, 1|in, k]
+        w = sd[f"conv{i + 1}.weight"].numpy()  # [out, 1|in, k(, 1)]
         b = sd[f"conv{i + 1}.bias"].numpy()
         gamma = sd[f"conv{i + 1}_BN.weight"].numpy()
         beta = sd[f"conv{i + 1}_BN.bias"].numpy()
         mean = sd[f"conv{i + 1}_BN.running_mean"].numpy()
         var = sd[f"conv{i + 1}_BN.running_var"].numpy()
         scale = gamma / np.sqrt(var + 1e-5)
-        w = w * scale[:, None, None]
-        b = (b - mean) * scale + beta
+        shift = beta - mean * scale
         # torchcrepe convs are 2d [out, in, k, 1] in some releases
         if w.ndim == 4:
             w = w[..., 0]
         params[f"conv{i}"] = {
             "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)).astype(np.float32),
             "bias": b.astype(np.float32),
+            "scale": scale.astype(np.float32),
+            "shift": shift.astype(np.float32),
         }
     cw = sd["classifier.weight"].numpy()  # [360, flat]
     cb = sd["classifier.bias"].numpy()
@@ -178,7 +192,9 @@ def frame_audio(audio16k: np.ndarray, hop_length: int) -> np.ndarray:
     idx = np.minimum(idx, len(xp) - 1)
     frames = xp[idx]
     frames = frames - frames.mean(axis=1, keepdims=True)
-    std = frames.std(axis=1, keepdims=True)
+    # ddof=1: torch.std is the sample std — 0.05% off the population std
+    # at n=1024, but exactness is free
+    std = frames.std(axis=1, keepdims=True, ddof=1)
     return frames / np.maximum(std, 1e-10)
 
 

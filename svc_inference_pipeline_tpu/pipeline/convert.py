@@ -96,6 +96,13 @@ class SVCPipeline:
                 if getattr(x, "ndim", 0) >= 2 else x,
                 vocoder_params,
             )
+        # fused Pallas Activation1d/stage kernels on real TPU; XLA
+        # composition elsewhere. Under TP the kernels stay on: the vocoder
+        # runs overlap-save time-chunked over the model axis with its
+        # params replicated (parallel/tp_vocoder.py) — channel-sharding
+        # can't drive a Pallas custom call and would pay per-conv
+        # collectives besides.
+        use_pallas = cfg.get("use_pallas_vocoder", jax.default_backend() == "tpu")
         if self.tp:
             from svc_inference_pipeline_tpu.parallel.sharding import (
                 MAPPER_TP_RULES,
@@ -103,10 +110,16 @@ class SVCPipeline:
                 WHISPER_TP_RULES,
                 shard_params,
             )
+            from jax.sharding import NamedSharding, PartitionSpec
 
             self.cond_params = shard_params(cond_params, mesh, MAPPER_TP_RULES)
             self.denoiser_params = shard_params(denoiser_params, mesh, MAPPER_TP_RULES)
-            self.vocoder_params = shard_params(vocoder_params, mesh, VOCODER_TP_RULES)
+            if use_pallas:
+                self.vocoder_params = jax.device_put(
+                    vocoder_params, NamedSharding(mesh, PartitionSpec())
+                )
+            else:
+                self.vocoder_params = shard_params(vocoder_params, mesh, VOCODER_TP_RULES)
             whisper.shard(mesh, WHISPER_TP_RULES)
         else:
             # pin params on device once — passing host (numpy) pytrees into
@@ -118,13 +131,22 @@ class SVCPipeline:
         self.whisper = whisper
 
         compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
-        # fused Pallas Activation1d on real TPU; XLA composition elsewhere.
-        # The Pallas kernels compute on the full (unsharded) array — under
-        # channel-sharding TP they would need a shard_map wrapper, so the
-        # GSPMD-propagated XLA path is used instead when model > 1.
-        use_pallas = cfg.get(
-            "use_pallas_vocoder", jax.default_backend() == "tpu" and not self.tp
-        )
+        self._model_axis = model_axis
+        if self.tp and use_pallas:
+            from svc_inference_pipeline_tpu.parallel.tp_vocoder import (
+                vocoder_receptive_radius,
+            )
+
+            self._voc_chunks = dict(mesh.shape)[model_axis]
+            # analytic bound is ~3× the measured structural radius (~21
+            # frames for the production config) — override to trim the
+            # overlap redundancy after validating on your config
+            self._voc_halo = int(
+                cfg.vocoder.get("tp_halo_frames", vocoder_receptive_radius(cfg.vocoder))
+            )
+        else:
+            self._voc_chunks = 1
+            self._voc_halo = 0
         self.cond_encoder = ConditionEncoder(cfg.mapper)
         self.denoiser = DiffSVCDenoiser(cfg.mapper, compute_dtype=compute_dtype)
         self.vocoder = BigVGANGenerator(
@@ -273,7 +295,24 @@ class SVCPipeline:
         lo, hi = self._mel_min, self._mel_max
         mel = (mel_norm + 1.0) / 2.0 * (hi - lo + zero) + lo  # [B, T, M]
 
-        wave = self.vocoder.apply({"params": vocoder_params}, mel)  # [B, T*hop]
+        if self._voc_chunks > 1:
+            # TP: overlap-save time chunks over the model axis — keeps the
+            # fused Pallas kernels live per device (parallel/tp_vocoder.py)
+            from svc_inference_pipeline_tpu.parallel.tp_vocoder import (
+                chunked_vocoder_apply,
+            )
+
+            wave = chunked_vocoder_apply(
+                lambda m: self.vocoder.apply({"params": vocoder_params}, m),
+                mel,
+                n_chunks=self._voc_chunks,
+                halo=self._voc_halo,
+                hop=self.cfg.hop_length,
+                mesh=self.mesh,
+                axis=self._model_axis,
+            )
+        else:
+            wave = self.vocoder.apply({"params": vocoder_params}, mel)  # [B, T*hop]
         # fade + trim at the TRUE length (masked — shapes stay padded), and
         # optionally peak-norm + PCM16 on device: the fetched bytes are then
         # exactly the WAV payload (halves the device→host transfer)
@@ -630,7 +669,6 @@ class SVCPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             data_axis = self.cfg.parallel.data_axis if "parallel" in self.cfg else "data"
-            sharding = NamedSharding(self.mesh, P(data_axis))
             arrays = {
                 k: jax.device_put(v, NamedSharding(self.mesh, P(data_axis, *([None] * (v.ndim - 1)))))
                 for k, v in arrays.items()

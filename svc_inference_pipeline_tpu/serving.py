@@ -44,17 +44,33 @@ class _Request:
 
 
 class SVCServer:
+    #: upper bound a request waits for its result before failing the HTTP
+    #: call — a belt against any path that could strand the completion event
+    REQUEST_TIMEOUT_S = 600.0
+
     def __init__(self, pipeline, cfg, coalesce_ms: float = 25.0, max_batch: int = 8):
         self.pipeline = pipeline
         self.cfg = cfg
         self.started = time.time()
         self.conversions = 0
         self.batches = 0
+        self.batch_failures = 0
         self.coalesce_ms = coalesce_ms
         self.max_batch = max_batch
+        self.closed = False
+        # one TPU job at a time: the coalescing worker and every streaming
+        # handler thread contend for the device through this lock
+        self._device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self.worker = threading.Thread(target=self._worker, daemon=True)
         self.worker.start()
+
+    def _count(self, conversions: int = 0, batches: int = 0, batch_failures: int = 0) -> None:
+        with self._stats_lock:
+            self.conversions += conversions
+            self.batches += batches
+            self.batch_failures += batch_failures
 
     # -- coalescing worker -------------------------------------------------
 
@@ -62,9 +78,11 @@ class SVCServer:
         while True:
             req = self.queue.get()
             if req is None:
+                self._drain()
                 return
             batch = [req]
             deadline = time.time() + self.coalesce_ms / 1000.0
+            stop = False
             while len(batch) < self.max_batch:
                 timeout = deadline - time.time()
                 if timeout <= 0:
@@ -74,32 +92,68 @@ class SVCServer:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._run(batch)
-                    return
+                    stop = True
+                    break
                 batch.append(nxt)
             self._run(batch)
+            if stop:
+                self._drain()
+                return
+
+    def _drain(self) -> None:
+        """Fail every request still queued at shutdown (never strand a
+        waiter: each gets its error set and its event fired)."""
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is None:
+                continue
+            req.error = RuntimeError("server closed")
+            req.event.set()
 
     def _run(self, batch) -> None:
+        from svc_inference_pipeline_tpu.utils.observability import get_logger
+
         try:
-            waves = self.pipeline.convert_batch(
-                [r.audio for r in batch], [r.singer for r in batch]
-            )
+            with self._device_lock:
+                waves = self.pipeline.convert_batch(
+                    [r.audio for r in batch], [r.singer for r in batch]
+                )
             for r, w in zip(batch, waves):
                 r.result = w
-            self.conversions += len(batch)
-            self.batches += 1
-        except Exception:  # noqa: BLE001 — isolate failures per request
-            for r in batch:
-                try:
-                    r.result = self.pipeline.convert(np.asarray(r.audio), r.singer)
-                    self.conversions += 1
-                except Exception as e:  # noqa: BLE001
-                    r.error = e
+            self._count(conversions=len(batch), batches=1)
+        except Exception as e:  # noqa: BLE001 — isolate failures per request
+            # the batch error is the root cause: log it loudly before any
+            # fallback (a silent serial retry turns a systemic failure into
+            # N slow mysteries)
+            get_logger("svc_tpu.serving").exception(
+                "convert_batch failed for %d request(s): %s: %s",
+                len(batch), type(e).__name__, e,
+            )
+            self._count(batch_failures=1)
+            if len(batch) == 1:
+                batch[0].error = e  # nothing to isolate — fail fast
+            else:
+                # bounded fallback: each request is retried exactly ONCE,
+                # individually, so one poison request fails alone while the
+                # rest of its batch still completes
+                for r in batch:
+                    try:
+                        with self._device_lock:
+                            r.result = self.pipeline.convert(
+                                np.asarray(r.audio), r.singer
+                            )
+                        self._count(conversions=1)
+                    except Exception as e2:  # noqa: BLE001
+                        r.error = e2
         finally:
             for r in batch:
                 r.event.set()
 
     def close(self) -> None:
+        self.closed = True
         self.queue.put(None)
 
     # -- request entry -----------------------------------------------------
@@ -114,9 +168,14 @@ class SVCServer:
             f.flush()
             audio, _ = load_audio(f.name, self.cfg.fs)
 
+        if self.closed:
+            raise RuntimeError("server closed")
         req = _Request(np.asarray(audio), singer)
         self.queue.put(req)
-        req.event.wait()
+        if not req.event.wait(timeout=self.REQUEST_TIMEOUT_S):
+            raise TimeoutError(
+                f"conversion not completed within {self.REQUEST_TIMEOUT_S:.0f}s"
+            )
         if req.error is not None:
             raise req.error
         with tempfile.NamedTemporaryFile(suffix=".wav") as out:
@@ -128,9 +187,12 @@ class SVCServer:
                            chunk_seconds: float = 10.0):
         """Generator of raw PCM16 byte chunks (pipeline/streaming.py).
 
-        Bypasses the coalescing queue: a stream holds the device for its
-        whole duration, so it runs directly (chunks still share the one
-        compiled executable with every other stream of the same length)."""
+        Bypasses the coalescing *queue* but not the device: each chunk's
+        conversion runs under the shared device lock, so streams interleave
+        with batch work chunk-by-chunk instead of contending for the TPU
+        (two concurrent device jobs interleave destructively — see
+        BENCH_NOTES). Chunks share the one compiled executable with every
+        other stream of the same length."""
         from svc_inference_pipeline_tpu.utils.audio_io import load_audio
         from svc_inference_pipeline_tpu.utils.registry import get_singer_id
 
@@ -140,10 +202,19 @@ class SVCServer:
             f.flush()
             audio, _ = load_audio(f.name, self.cfg.fs)
 
-        for piece in self.pipeline.convert_streaming(
+        gen = self.pipeline.convert_streaming(
             np.asarray(audio), singer, chunk_seconds=chunk_seconds
-        ):
-            self.conversions += 1
+        )
+        while True:
+            # the device work happens lazily inside next(): hold the lock
+            # only for the duration of one chunk, then yield it to the
+            # client while other work can take the device
+            with self._device_lock:
+                try:
+                    piece = next(gen)
+                except StopIteration:
+                    return
+            self._count(conversions=1)
             pcm = np.clip(np.round(np.asarray(piece) * 32767.0), -32768, 32767)
             yield pcm.astype("<i2").tobytes()
 
@@ -151,6 +222,11 @@ class SVCServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer framing (the streaming endpoint) is only
+            # defined for HTTP/1.1; every non-chunked response carries
+            # Content-Length, so keep-alive is safe
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # route through our logger
                 from svc_inference_pipeline_tpu.utils.observability import get_logger
 
@@ -183,6 +259,7 @@ class SVCServer:
                     m["serving"] = {
                         "conversions": server.conversions,
                         "batches": server.batches,
+                        "batch_failures": server.batch_failures,
                         "mean_batch": (
                             server.conversions / server.batches
                             if server.batches else 0.0
@@ -232,10 +309,13 @@ class SVCServer:
                         self.wfile.write(data)
                         self.wfile.write(b"\r\n")
 
-                    emit(first)
-                    for piece in gen:
-                        emit(piece)
-                    self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        emit(first)
+                        for piece in gen:
+                            emit(piece)
+                        self.wfile.write(b"0\r\n\r\n")
+                    except (ConnectionError, BrokenPipeError):
+                        pass  # client went away mid-stream — just stop
                     return
                 try:
                     out = server.convert_bytes(body, singer)

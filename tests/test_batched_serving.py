@@ -78,6 +78,132 @@ def test_convert_batch_end_to_end(pipe):
         assert abs(w[-1]) < 1e-5  # true-length fade hits zero
 
 
+def _wav_bytes(tone):
+    import os
+    import tempfile
+
+    from svc_inference_pipeline_tpu.utils.audio_io import write_wav
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf:
+        write_wav(tf.name, tone, 24000)
+        data = open(tf.name, "rb").read()
+        os.unlink(tf.name)
+    return data
+
+
+def test_poison_request_fails_alone(pipe, monkeypatch):
+    """A batch failure is logged, counted, and retried per-request exactly
+    once — the poison request fails alone, its batchmates still convert
+    (VERDICT r2 weak #4)."""
+    import logging
+
+    from svc_inference_pipeline_tpu.serving import SVCServer
+    from svc_inference_pipeline_tpu.utils.observability import get_logger
+
+    real_convert = pipe.convert
+
+    def bad_batch(wavs, singers, key=None):
+        raise RuntimeError("simulated systemic batch failure")
+
+    def picky_convert(wav, singer, **kw):
+        # poison marker: leading sample near full scale
+        if abs(np.asarray(wav)[0]) > 0.8:
+            raise ValueError("poison clip")
+        return real_convert(wav, singer, **kw)
+
+    monkeypatch.setattr(pipe, "convert_batch", bad_batch)
+    monkeypatch.setattr(pipe, "convert", picky_convert)
+
+    poison = np.full(12000, 0.9, np.float32)
+    good = _tone(220.0, 0.5)
+
+    server = SVCServer(pipe, pipe.cfg, coalesce_ms=3000.0, max_batch=2)
+    try:
+        results, errors = [None, None], [None, None]
+
+        def work(i, payload):
+            try:
+                results[i] = server.convert_bytes(payload, "svcc_CDF1")
+            except Exception as e:  # noqa: BLE001
+                errors[i] = e
+
+        # the serving logger sets propagate=False, so caplog can't see it —
+        # attach a capturing handler directly
+        records = []
+
+        class _Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        log = get_logger("svc_tpu.serving")
+        capture = _Capture(level=logging.ERROR)
+        log.addHandler(capture)
+        try:
+            threads = [
+                threading.Thread(target=work, args=(0, _wav_bytes(poison))),
+                threading.Thread(target=work, args=(1, _wav_bytes(good))),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+        finally:
+            log.removeHandler(capture)
+
+        assert isinstance(errors[0], ValueError)  # poison fails alone
+        assert results[1] is not None and results[1][:4] == b"RIFF"
+        assert server.batch_failures == 1
+        assert any("convert_batch failed" in r.getMessage() for r in records), \
+            "the batch root cause must be logged, not swallowed"
+    finally:
+        server.close()
+
+
+def test_single_request_batch_failure_fails_fast(pipe, monkeypatch):
+    """A failing batch of ONE is not retried — the error surfaces directly."""
+    from svc_inference_pipeline_tpu.serving import SVCServer
+
+    calls = {"convert": 0}
+
+    def bad_batch(wavs, singers, key=None):
+        raise RuntimeError("boom")
+
+    def count_convert(wav, singer, **kw):
+        calls["convert"] += 1
+        raise AssertionError("must not retry a singleton batch")
+
+    monkeypatch.setattr(pipe, "convert_batch", bad_batch)
+    monkeypatch.setattr(pipe, "convert", count_convert)
+
+    server = SVCServer(pipe, pipe.cfg, coalesce_ms=1.0, max_batch=2)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            server.convert_bytes(_wav_bytes(_tone(220.0, 0.3)), "svcc_CDF1")
+        assert calls["convert"] == 0
+    finally:
+        server.close()
+
+
+def test_closed_server_rejects_and_drains(pipe):
+    """After close(): new requests fail immediately; nothing is stranded."""
+    from svc_inference_pipeline_tpu.serving import SVCServer, _Request
+
+    server = SVCServer(pipe, pipe.cfg, coalesce_ms=1.0, max_batch=2)
+    server.close()
+    server.worker.join(timeout=30)
+    assert not server.worker.is_alive()
+    # new requests are rejected up front once closed
+    with pytest.raises(RuntimeError, match="closed"):
+        server.convert_bytes(_wav_bytes(_tone(220.0, 0.2)), "svcc_CDF1")
+    # a request that slipped into the queue around shutdown is failed by
+    # the drain — its waiter gets an error + event, never a hang
+    stranded = _Request(np.zeros(4, np.float32), "svcc_CDF1")
+    server.queue.put(stranded)
+    server._drain()
+    assert stranded.event.is_set()
+    assert isinstance(stranded.error, RuntimeError)
+
+
 def test_serving_coalesces_concurrent_requests(pipe):
     """4 concurrent requests → ONE convert_batch call."""
     import io

@@ -125,3 +125,130 @@ def test_full_chain_with_random_weights():
         silent, mel_len, 24000, 256, 160, 50.0, 1100.0, model="tiny", params=params
     )
     assert (f0s == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# torch-oracle converter/network parity (VERDICT r2 missing #1)
+# ---------------------------------------------------------------------------
+
+
+def _torchcrepe_oracle_forward(sd, frames, model):
+    """torchcrepe's forward, re-implemented in torch directly from its
+    published architecture (torchcrepe/model.py): Conv2d [out,in,k,1] on
+    [B,1,1024,1], per-layer F.pad ((254,254) first, (31,32) rest),
+    conv -> relu -> BatchNorm(eval) -> maxpool(2,1), then
+    permute(0,2,1,3).reshape(-1, in_features) and a sigmoid classifier.
+    Pure oracle — exercised only on synthetic random state dicts."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.as_tensor(frames, dtype=torch.float32)[:, None, :, None]
+    for i in range(6):
+        pad = (254, 254) if i == 0 else (31, 32)
+        x = F.pad(x, (0, 0, pad[0], pad[1]))
+        x = F.conv2d(
+            x, sd[f"conv{i + 1}.weight"], sd[f"conv{i + 1}.bias"],
+            stride=(4, 1) if i == 0 else (1, 1),
+        )
+        x = F.relu(x)
+        x = F.batch_norm(
+            x,
+            sd[f"conv{i + 1}_BN.running_mean"],
+            sd[f"conv{i + 1}_BN.running_var"],
+            sd[f"conv{i + 1}_BN.weight"],
+            sd[f"conv{i + 1}_BN.bias"],
+            training=False,
+            eps=1e-5,
+        )
+        x = F.max_pool2d(x, (2, 1), (2, 1))
+    x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
+    return torch.sigmoid(
+        x @ sd["classifier.weight"].T + sd["classifier.bias"]
+    ).numpy()
+
+
+def _synthetic_torchcrepe_sd(model, seed):
+    """A random state dict in torchcrepe's exact checkpoint format —
+    Conv2d kernels [out, in, k, 1], BatchNorm with non-trivial running
+    stats so the conv->relu->BN ordering is actually exercised."""
+    import torch
+
+    g = np.random.default_rng(seed)
+    net = CrepeModel(model)
+    sd = {}
+    in_ch = 1
+    for i, (f, k) in enumerate(zip(net.filters, net.kernels)):
+        sd[f"conv{i + 1}.weight"] = torch.as_tensor(
+            g.standard_normal((f, in_ch, k, 1)) / np.sqrt(k * in_ch),
+            dtype=torch.float32,
+        )
+        sd[f"conv{i + 1}.bias"] = torch.as_tensor(
+            0.1 * g.standard_normal(f), dtype=torch.float32
+        )
+        sd[f"conv{i + 1}_BN.weight"] = torch.as_tensor(
+            0.5 + g.random(f), dtype=torch.float32
+        )
+        sd[f"conv{i + 1}_BN.bias"] = torch.as_tensor(
+            0.2 * g.standard_normal(f), dtype=torch.float32
+        )
+        sd[f"conv{i + 1}_BN.running_mean"] = torch.as_tensor(
+            0.2 * g.standard_normal(f), dtype=torch.float32
+        )
+        sd[f"conv{i + 1}_BN.running_var"] = torch.as_tensor(
+            0.5 + g.random(f), dtype=torch.float32
+        )
+        in_ch = f
+    flat = net.filters[-1] * 4
+    sd["classifier.weight"] = torch.as_tensor(
+        g.standard_normal((N_BINS, flat)) / np.sqrt(flat), dtype=torch.float32
+    )
+    sd["classifier.bias"] = torch.as_tensor(
+        0.1 * g.standard_normal(N_BINS), dtype=torch.float32
+    )
+    return sd
+
+
+@pytest.mark.parametrize("model", ["tiny", "full"])
+def test_converter_network_parity_vs_torch_oracle(model, tmp_path):
+    """load_crepe_params + CrepeModel.apply reproduce torchcrepe's forward
+    bit-for-bit-ish (<=1e-5) on a synthetic checkpoint — validates the
+    converter (BN-as-affine after relu, kernel transposes, classifier
+    flatten order) and the JAX net (padding, stride, pool) without the
+    trained weights this env cannot fetch."""
+    import torch
+
+    from svc_inference_pipeline_tpu.ops.f0_crepe import load_crepe_params
+
+    sd = _synthetic_torchcrepe_sd(model, seed=7)
+    path = tmp_path / f"{model}.pth"
+    torch.save(sd, path)
+
+    params = load_crepe_params(str(path), model)
+    rng = np.random.default_rng(11)
+    frames = frame_audio(
+        (0.3 * rng.standard_normal(FS16)).astype(np.float32), 160
+    )
+    ours = np.asarray(CrepeModel(model).apply(params, frames))
+    oracle = _torchcrepe_oracle_forward(sd, frames, model)
+    assert ours.shape == oracle.shape == (len(frames), N_BINS)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_env_var_weight_path_loads(tmp_path, monkeypatch):
+    """SVC_CREPE_WEIGHTS is honoured: a checkpoint at that path loads and
+    the extractor produces a finite F0 track with no params argument."""
+    import torch
+
+    from svc_inference_pipeline_tpu.ops import f0_crepe
+
+    sd = _synthetic_torchcrepe_sd("tiny", seed=3)
+    path = tmp_path / "tiny.pth"
+    torch.save(sd, path)
+    monkeypatch.setenv("SVC_CREPE_WEIGHTS", str(path))
+    monkeypatch.setattr(f0_crepe, "_PARAM_CACHE", {})
+    f0 = get_f0_features_using_crepe(
+        (0.3 * np.random.default_rng(5).standard_normal(24000)).astype(np.float32),
+        90, 24000, 256, 160, 50.0, 1100.0, model="tiny",
+    )
+    assert f0.shape == (90,)
+    assert np.isfinite(f0).all()
