@@ -19,6 +19,7 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _SRC = os.path.join(_REPO_ROOT, "native", "wav_codec.cc")
+_SRC_FLAC = os.path.join(_REPO_ROOT, "native", "flac_codec.cc")
 _LIB = os.path.join(_REPO_ROOT, "native", "libsvc_native.so")
 
 _lock = threading.Lock()
@@ -36,7 +37,7 @@ class _WavInfo(ctypes.Structure):
 
 def _build() -> None:
     cc = os.environ.get("CXX", "g++")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lm"]
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_FLAC, "-lm"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -45,7 +46,10 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        stale = not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(src) for src in (_SRC, _SRC_FLAC)
+        )
+        if stale:
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.wav_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
@@ -59,6 +63,13 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.flac_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
+        lib.flac_decode_ch0.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
@@ -98,6 +109,27 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     )
     if err.value:
         raise OSError(f"{path}: wav decode failed (code {err.value})")
+    return out[:, None], int(info.sample_rate)
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Channel-0 FLAC decode → (float32 samples [n, 1] normalised by
+    2^(bits-1), rate). Native decoder: native/flac_codec.cc."""
+    lib = _load()
+    info = _WavInfo()
+    lib.flac_probe(path.encode(), ctypes.byref(info))
+    if info.error:
+        raise OSError(f"{path}: flac probe failed (code {info.error})")
+    out = np.empty(info.n_frames, dtype=np.float32)
+    err = ctypes.c_int32()
+    lib.flac_decode_ch0(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        info.n_frames,
+        ctypes.byref(err),
+    )
+    if err.value:
+        raise OSError(f"{path}: flac decode failed (code {err.value})")
     return out[:, None], int(info.sample_rate)
 
 

@@ -157,11 +157,22 @@ def load_audio(
     magnitude-inference quirks; resampling is done by our windowed-sinc
     polyphase resampler (JAX, on device) rather than librosa.
     """
-    try:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        # non-WAV route the reference serves via librosa/ffmpeg
+        # (utils/audio.py:21-24): native FLAC decoder, float output
+        # normalised by 2^(bits-1) — no Python fallback (the decoder is
+        # C++-only; environments without a toolchain get a clear error)
         from svc_inference_pipeline_tpu.native import wav_codec as _native
-        samples, sample_rate = _native.read_wav(path)
-    except Exception:
-        samples, sample_rate = read_wav(path)
+
+        samples, sample_rate = _native.read_flac(path)
+    else:
+        try:
+            from svc_inference_pipeline_tpu.native import wav_codec as _native
+            samples, sample_rate = _native.read_wav(path)
+        except Exception:
+            samples, sample_rate = read_wav(path)
 
     audio = samples[:, 0] if samples.ndim > 1 else samples  # channel 0 only
     if audio.ndim > 0 and samples.ndim > 1 and samples.shape[1] > 1:
