@@ -27,6 +27,7 @@ plain numpy pytrees saved through checkpoints/native_io.py.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, Mapping, Tuple
 
@@ -288,23 +289,84 @@ def _torch_load(path: str) -> Dict[str, Any]:
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
-def load_mapper_params(path: str, cfg) -> Tuple[Params, Params]:
+# Official Whisper checkpoint digests — the sha256 components of the
+# reference's download-URL registry
+# (/root/reference/utils/whisper_extractor/__init__.py:18-31). This
+# environment has no egress, so only the *integrity* half of that
+# contract applies: a local file claiming to be one of these models must
+# match its published digest.
+WHISPER_SHA256: Dict[str, str] = {
+    "tiny.en": "d3dd57d32accea0b295c96e26691aa14d8822fac7d9d27d5dc00b4ca2826dd03",
+    "tiny": "65147644a518d12f04e32d6f3b26facc3f8dd46e5390956a9424a650c0ce22b9",
+    "base.en": "25a8566e1d0c1e2231d1c762132cd20e0f96a85d16145c3a00adf5d1ac670ead",
+    "base": "ed3a0b6b1c0edf879ad9b11b1af5a0e6ab5db9205f891f668f8b0e6c6326e34e",
+    "small.en": "f953ad0fd29cacd07d5a9eda5624af0f6bcf2258be67c92b79389873d91e0872",
+    "small": "9ecf779972d90ba49c06d968637d720dd632c55bbf19d441fb42bf17a411e794",
+    "medium.en": "d7440d1dc186f76616474e0ff0b3b6b879abc9d1a4926b7adfa41db2d497ab4f",
+    "medium": "345ae4da62f9b3d59415adc60127b97c714f32e89e936602e85993674d08dcb1",
+    "large-v1": "e4b87e7e0bf463eb8e6956e646f1e277e901512310def2c24bf0e11bd3c28e9a",
+    "large-v2": "81f7c96c852ee8fc832187b0132e569d6c3065a3252ed18e56effd0b6a73e524",
+    "large": "81f7c96c852ee8fc832187b0132e569d6c3065a3252ed18e56effd0b6a73e524",
+}
+
+
+def file_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def verify_sha256(path: str, expected: str) -> None:
+    """Raise RuntimeError when ``path`` does not hash to ``expected`` —
+    the reference's post-download integrity rule
+    (whisper_extractor/__init__.py:61-63) applied to a local file."""
+    actual = file_sha256(path)
+    if actual != expected.lower():
+        raise RuntimeError(
+            f"{path}: SHA256 checksum does not match (expected {expected}, "
+            f"got {actual}); the checkpoint is corrupt or mislabelled"
+        )
+
+
+def load_mapper_params(path: str, cfg, expected_sha256: str | None = None) -> Tuple[Params, Params]:
     """Load + convert a mapper ``.pt`` checkpoint (ckpt key ``state_dict``)."""
+    if expected_sha256:
+        verify_sha256(path, expected_sha256)
     ckpt = _torch_load(path)
     return convert_mapper_state_dict(ckpt["state_dict"], cfg)
 
 
-def load_vocoder_params(path: str, cfg) -> Params:
+def load_vocoder_params(path: str, cfg, expected_sha256: str | None = None) -> Params:
     """Load + convert a vocoder ``.pt`` checkpoint (``generator_state_dict``)."""
+    if expected_sha256:
+        verify_sha256(path, expected_sha256)
     ckpt = _torch_load(path)
     return convert_vocoder_state_dict(ckpt["generator_state_dict"], cfg)
 
 
-def load_whisper(path_or_name: str, download_root: str | None = None):
+def load_whisper(
+    path_or_name: str,
+    download_root: str | None = None,
+    expected_sha256: str | None = None,
+    verify: bool = True,
+):
     """Load a Whisper checkpoint → (dims dict, encoder params [, decoder]).
 
     Accepts a filesystem path (the zero-egress environment cannot download;
     the reference's URL registry semantics live in models/whisper.py).
+    Integrity: an explicit ``expected_sha256`` is always enforced; when the
+    filename matches an official model name (``medium.pt`` etc.) the file
+    is checked against WHISPER_SHA256 unless ``verify=False``.
     """
+    expected = expected_sha256
+    if expected is None and verify:
+        stem = os.path.splitext(os.path.basename(path_or_name))[0]
+        expected = WHISPER_SHA256.get(stem)
+    if expected:
+        verify_sha256(path_or_name, expected)
     ckpt = _torch_load(path_or_name)
     return ckpt["dims"], convert_whisper_state_dict(ckpt["model_state_dict"], encoder_only=False)

@@ -200,6 +200,20 @@ class LogitFilter:
         raise NotImplementedError
 
 
+def _log_softmax_np(x: np.ndarray) -> np.ndarray:
+    """Row-wise stable log-softmax on host float32 numpy.
+
+    The decode loop filters and ranks host-side logits every step; routing
+    this through jax would cost a device dispatch per token (and on this
+    machine a ~31 ms tunnel round trip), serialising the whole loop on the
+    host↔device link."""
+    x = x.astype(np.float32, copy=False)
+    m = x.max(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
+    return x - m - z
+
+
 class SuppressBlank(LogitFilter):
     """Never start the sample with a blank or EOT (decoding.py:383-390)."""
 
@@ -257,12 +271,17 @@ class ApplyTimestampRules(LogitFilter):
                 logits[:, last_allowed + 1 :] = -np.inf
 
         # if the timestamp mass beats every single text token, force a timestamp
-        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1))
-        for k in range(tokens.shape[0]):
-            ts_mass = float(jax.nn.logsumexp(jnp.asarray(lp[k, tok.timestamp_begin :])))
-            max_text = float(lp[k, : tok.timestamp_begin].max())
-            if ts_mass > max_text:
-                logits[k, : tok.timestamp_begin] = -np.inf
+        lp = _log_softmax_np(logits)
+        ts = lp[:, tok.timestamp_begin :]
+        m = ts.max(axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts_mass = np.where(
+                np.isfinite(m),
+                np.log(np.exp(ts - m[:, None]).sum(axis=-1)) + m,
+                -np.inf,
+            )
+        max_text = lp[:, : tok.timestamp_begin].max(axis=-1)
+        logits[ts_mass > max_text, : tok.timestamp_begin] = -np.inf
 
 
 def build_suppress_tokens(
@@ -489,9 +508,7 @@ class WhisperDecoder:
         for _ in range(sample_len):
             for f in filters:
                 f.apply(step_logits, tokens)
-            logprobs = np.asarray(
-                jax.nn.log_softmax(jnp.asarray(step_logits, jnp.float32), axis=-1)
-            )
+            logprobs = _log_softmax_np(step_logits)
             if temperature <= 0:
                 next_tok = step_logits.argmax(axis=-1).astype(np.int32)
             else:
@@ -564,9 +581,7 @@ class WhisperDecoder:
         for _ in range(sample_len):
             for f in filters:
                 f.apply(step_logits, tokens)
-            logprobs = np.asarray(
-                jax.nn.log_softmax(jnp.asarray(step_logits, jnp.float32), axis=-1)
-            )
+            logprobs = _log_softmax_np(step_logits)
             # candidate pool: top (beam_size+1) continuations per live beam
             candidates = []  # (score, parent, token)
             for i in range(beam_size):
