@@ -44,6 +44,45 @@ def elapsed():
     return time.time() - START
 
 
+def _profiled_device_ms(run_fn) -> float:
+    """Total TPU busy time (ms) for one call of ``run_fn``, via a
+    jax.profiler trace. Sums top-level module executions on the device
+    plane ('XLA Modules' line) so nested op events aren't double-counted;
+    falls back to the busiest line when that line is absent."""
+    import glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        with jax.profiler.trace(trace_dir):
+            run_fn()
+        paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+        if not paths:
+            return 0.0
+        from jax.profiler import ProfileData
+
+        pd = ProfileData.from_file(paths[0])
+        best = 0.0
+        for plane in pd.planes:
+            if "tpu" not in plane.name.lower():
+                continue
+            module_ms = None
+            line_sums = []
+            for line in plane.lines:
+                s = sum(ev.duration_ns for ev in line.events) / 1e6
+                line_sums.append(s)
+                if "module" in line.name.lower():
+                    module_ms = (module_ms or 0.0) + s
+            plane_ms = module_ms if module_ms is not None else max(line_sums, default=0.0)
+            best = max(best, plane_ms)
+        return best
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def main():
     budget = float(os.environ.get("BENCH_BUDGET", 700))
 
@@ -131,6 +170,19 @@ def main():
         "(device + one tunnel round trip; the e2e number adds upload/fetch RTs that a "
         "co-located host would not pay)")
 
+    # device-only RTF from a profiler trace of the SAME executable: the
+    # number a co-located host would see. The tunnel adds ±20-55 ms of RT
+    # jitter per call to every wall number above; ProfileData device time
+    # has none of it. No compile risk (the call is warm); guarded anyway.
+    device_rtf = None
+    try:
+        device_ms = _profiled_device_ms(run_core)
+        if device_ms:
+            device_rtf = device_ms / 1e3 / duration
+            log(f"profiled device time: {device_ms:.1f} ms → device RTF {device_rtf:.4f}")
+    except Exception as e:  # profiling is auxiliary, never fatal
+        log(f"device profile unavailable: {e}")
+
     # ---- headline metric: printed NOW, before anything that might compile ----
     print(json.dumps({
         "metric": "e2e_rtf_10s_ddpm1000",
@@ -138,6 +190,7 @@ def main():
         "unit": "rtf",
         "vs_baseline": 0.05 / rtf,
         "core_rtf_10s_ddpm1000": core_rtf,
+        "device_rtf_10s_ddpm1000": device_rtf,
     }), flush=True)
 
     # ---- optional extra: the working PLMS fast path (a different executable;

@@ -64,6 +64,21 @@ class WhisperPPGExtractor:
         if scan_layers and "block_0" in params:
             params = stack_encoder_block_params(params, dims.n_audio_layer)
         self.scan_layers = scan_layers
+        # matmul weights stored at the compute dtype: the encoder already
+        # runs bf16, so f32 storage only doubled the host→device upload
+        # (~1.2 GB → 600 MB for medium; ~27 s on this tunnel) and the HBM
+        # reads per encode. LayerNorm scales/biases (ndim<2) stay f32 — the
+        # norm islands compute in f32.
+        if compute_dtype != jnp.float32:
+            import numpy as np
+
+            def _store(x):
+                a = np.asarray(x)
+                if a.ndim >= 2 and a.dtype == np.float32:
+                    return a.astype(jnp.dtype(compute_dtype))  # host-side cast
+                return a
+
+            params = jax.tree_util.tree_map(_store, params)
         self.params = jax.device_put(params)  # keep weights device-resident
         self.fs = fs
         self.encoder = WhisperAudioEncoder(
