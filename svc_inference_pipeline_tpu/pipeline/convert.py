@@ -103,6 +103,17 @@ class SVCPipeline:
         # can't drive a Pallas custom call and would pay per-conv
         # collectives besides.
         use_pallas = cfg.get("use_pallas_vocoder", jax.default_backend() == "tpu")
+        # fused whole-step denoiser kernel (ops/pallas/denoiser_step.py):
+        # 262 vs 282 us/step profiled against the XLA fast path at the
+        # production shape (BENCH_NOTES round 3) — ~20 ms per DDPM-1000
+        # conversion. Single-device only: under TP the denoiser params are
+        # channel-sharded and GSPMD can't split a Pallas custom call.
+        self._use_pallas_denoiser = bool(
+            cfg.get("use_pallas_denoiser", jax.default_backend() == "tpu")
+            and not self.tp
+            and cfg.mapper.residual_kernel_size == 3
+            and cfg.mapper.residual_channels % 128 == 0
+        )
         if self.tp:
             from svc_inference_pipeline_tpu.parallel.sharding import (
                 MAPPER_TP_RULES,
@@ -263,16 +274,33 @@ class SVCPipeline:
 
         # hoisted-conditioning denoiser: the conditioner projections and the
         # step-encoder table are computed once, not once per sampling step
-        # (~20% of scan FLOPs in the naive formulation)
-        from svc_inference_pipeline_tpu.models.diffsvc_fast import make_fast_denoise_fn
+        # (~20% of scan FLOPs in the naive formulation). On real TPU the
+        # per-step forward additionally runs as ONE fused Pallas kernel
+        # (VMEM-resident activations, concat-tap conv matmul).
+        if self._use_pallas_denoiser and cond.shape[0] == 1:
+            from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
+                make_pallas_denoise_fn,
+            )
 
-        denoise_fn = make_fast_denoise_fn(
-            denoiser_params,
-            cond,
-            self.schedule.num_steps,
-            self.cfg.mapper,
-            compute_dtype=self.denoiser.compute_dtype or jnp.float32,
-        )
+            denoise_fn = make_pallas_denoise_fn(
+                denoiser_params,
+                cond,
+                self.schedule.num_steps,
+                self.cfg.mapper,
+                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+            )
+        else:
+            from svc_inference_pipeline_tpu.models.diffsvc_fast import (
+                make_fast_denoise_fn,
+            )
+
+            denoise_fn = make_fast_denoise_fn(
+                denoiser_params,
+                cond,
+                self.schedule.num_steps,
+                self.cfg.mapper,
+                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+            )
 
         b = cond.shape[0]
         shape = (b, n_frames, self.cfg.mapper.n_mel)
