@@ -7,9 +7,10 @@ kernel runs the complete chain — mel preprocess, 20 gated dilated-conv
 residual blocks, skip reduction, output projection — in a single
 ``pallas_call``:
 
-* grid = (layers,): Pallas's automatic pipelining double-buffers each
-  layer's weights + precomputed conditioner block HBM→VMEM while the
-  previous layer computes,
+* grid = (batch, layers): Pallas's automatic pipelining double-buffers
+  each layer's weights + precomputed conditioner block HBM→VMEM while
+  the previous layer computes; batch elements run as outer grid steps
+  over the same VMEM scratch (re-initialised at layer 0),
 * activations (h, the concat-tap conv input y3, the skip accumulator)
   live in VMEM scratch across grid iterations — they never touch HBM,
 * the k=3 dilated conv is ONE [T,3C]@[3C,2C] MXU matmul (tap-major rows);
@@ -32,7 +33,7 @@ inside the DDPM/PLMS scans via :func:`make_pallas_denoise_fn`; numerics
 match models/diffsvc_fast.py to compute-dtype tolerance (parity tests).
 
 Restrictions: kernel_size 3, dilation cycle 2^(i mod cycle), residual
-channels multiple of 128, B=1 (the single-clip conversion path).
+channels multiple of 128. Any batch size (B>1 = batched serving).
 Reference behaviour being accelerated: the per-step denoiser of
 /root/reference/modules/diffsvc.py:60-130 inside the 1000-step loop of
 /root/reference/modules/diffsvcrepo_inference.py:234-240.
@@ -105,10 +106,10 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
     inv_sqrt_l = np.float32(1.0 / math.sqrt(n_layers))
 
     def kernel(
-        x_ref,      # [T, M_pad]
+        x_ref,      # [1, T, M_pad]  (this batch element)
         step_ref,   # [1, 1, C]   (this layer's step row)
         w1_ref,     # [1, 3C, 2C]
-        condb_ref,  # [1, T, 2C]  (conditioner projection + conv bias)
+        condb_ref,  # [1, 1, T, 2C]  (conditioner projection + conv bias)
         wout_ref,   # [1, C, 2C]
         bout_ref,   # [1, 1, 2C]
         wmel_ref,   # [M_pad, C]
@@ -117,16 +118,16 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
         bskip_ref,  # [1, C]
         wo_ref,     # [C, M_pad]
         bo_ref,     # [1, M_pad]
-        out_ref,    # [T, M_pad]
+        out_ref,    # [1, T, M_pad]
         h_ref,      # scratch [T, C]  compute dtype
         y3_ref,     # scratch [T, 3C] compute dtype (concat-tap conv input)
         skip_ref,   # scratch [T, C]  f32
     ):
-        layer = pl.program_id(0)
+        layer = pl.program_id(1)
 
         @pl.when(layer == 0)
         def _init():
-            h0 = jnp.dot(x_ref[:], wmel_ref[:], preferred_element_type=jnp.float32)
+            h0 = jnp.dot(x_ref[0], wmel_ref[:], preferred_element_type=jnp.float32)
             h0 = jnp.maximum(h0 + bmel_ref[0].astype(jnp.float32), 0.0)
             h_ref[:] = h0.astype(h_ref.dtype)
             skip_ref[:] = jnp.zeros((t_len, c), jnp.float32)
@@ -158,7 +159,7 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
         # into the conditioner block. f32 gates: bf16 transcendentals trip
         # a Mosaic lowering bug and measure ~2% anyway (perf_scan3).
         acc = jnp.dot(y3_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
-        acc = acc + condb_ref[0].astype(jnp.float32)
+        acc = acc + condb_ref[0, 0].astype(jnp.float32)
         g = (jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])).astype(h_ref.dtype)
 
         yo = jnp.dot(g, wout_ref[0], preferred_element_type=jnp.float32)
@@ -172,7 +173,7 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
             s1 = jnp.dot(sk.astype(h_ref.dtype), wskip_ref[:], preferred_element_type=jnp.float32)
             s1 = jnp.maximum(s1 + bskip_ref[0].astype(jnp.float32), 0.0)
             out = jnp.dot(s1.astype(h_ref.dtype), wo_ref[:], preferred_element_type=jnp.float32)
-            out_ref[:] = (out + bo_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+            out_ref[0] = (out + bo_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
 
     return kernel
 
@@ -180,9 +181,9 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
 @functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
 def _denoise_pallas(
     stacked: StackedDenoiser,
-    condb: jnp.ndarray,  # [L, T, 2C] — cond projection + conv bias, compute dtype
+    condb: jnp.ndarray,  # [B, L, T, 2C] — cond projection + conv bias, compute dtype
     step_rows_t: jnp.ndarray,  # [L, C]
-    x: jnp.ndarray,  # [1, T, n_mel]
+    x: jnp.ndarray,  # [B, T, n_mel]
     cfg_key,  # (n_layers, cycle, c, n_mel, t_len)
     interpret: bool = False,
 ):
@@ -193,30 +194,38 @@ def _denoise_pallas(
     n_layers, cycle, c, n_mel, t_len = cfg_key
     m_pad = -(-n_mel // LANE) * LANE
     dtype = stacked.w1.dtype
+    b = x.shape[0]
 
-    xp = jnp.pad(x[0].astype(dtype), [(0, 0), (0, m_pad - n_mel)])  # [T, M_pad]
+    xp = jnp.pad(x.astype(dtype), [(0, 0), (0, 0), (0, m_pad - n_mel)])  # [B, T, M_pad]
 
     kernel = _make_kernel(t_len, c, n_layers, cycle)
-    grid = (n_layers,)
+    grid = (b, n_layers)  # layer innermost: scratch carries across layers per clip
 
     def fixed(shape):
         # same block every grid step
-        return pl.BlockSpec(shape, lambda l: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda bi, l: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     def per_layer(shape):
         return pl.BlockSpec(
-            (1, *shape), lambda l: (l, *(0 for _ in shape)), memory_space=pltpu.VMEM
+            (1, *shape), lambda bi, l: (l, *(0 for _ in shape)), memory_space=pltpu.VMEM
+        )
+
+    def per_batch(shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
         )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_len, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            fixed((t_len, m_pad)),  # x
+            per_batch((t_len, m_pad)),  # x
             per_layer((1, c)),  # step rows [L,1,C]
             per_layer((3 * c, 2 * c)),  # w1
-            per_layer((t_len, 2 * c)),  # cond + b1
+            pl.BlockSpec(  # cond + b1 [B,L,T,2C]
+                (1, 1, t_len, 2 * c), lambda bi, l: (bi, l, 0, 0), memory_space=pltpu.VMEM
+            ),
             per_layer((c, 2 * c)),  # wout
             per_layer((1, 2 * c)),  # bout [L,1,2C]
             fixed((m_pad, c)),  # wmel
@@ -226,7 +235,7 @@ def _denoise_pallas(
             fixed((c, m_pad)),  # wo
             fixed((1, m_pad)),  # bo
         ],
-        out_specs=fixed((t_len, m_pad)),
+        out_specs=per_batch((t_len, m_pad)),
         scratch_shapes=[
             pltpu.VMEM((t_len, c), dtype),
             pltpu.VMEM((t_len, 3 * c), dtype),
@@ -250,7 +259,7 @@ def _denoise_pallas(
         stacked.wo,
         stacked.bo,
     )
-    return out[None, :, :n_mel].astype(jnp.float32)
+    return out[:, :, :n_mel].astype(jnp.float32)
 
 
 def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
@@ -262,14 +271,14 @@ def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
     c = cfg.residual_channels
     assert c % LANE == 0, c
     assert cfg.residual_kernel_size == 3
-    assert cond.shape[0] == 1, "fused denoiser kernel is single-clip (B=1)"
 
     pre = precompute(params, cond, num_steps, cfg, compute_dtype)
     stacked = stack_denoiser_params(params, cfg, compute_dtype)
     # fold the dilated-conv bias into the conditioner block: one VMEM add
-    # per layer instead of two
-    condb = (pre.cond_projs[:, 0].astype(jnp.float32)
-             + stacked.b1[:, None, :]).astype(compute_dtype)  # [L, T, 2C]
+    # per layer instead of two; [L,B,T,2C] -> batch-major [B,L,T,2C]
+    condb = (pre.cond_projs.astype(jnp.float32)
+             + stacked.b1[:, None, None, :]).astype(compute_dtype)
+    condb = jnp.swapaxes(condb, 0, 1)  # [B, L, T, 2C]
     t_len = cond.shape[1]
     cfg_key = (cfg.residual_layer_num, cfg.dilation_cycle_length, c, cfg.n_mel, t_len)
 

@@ -277,7 +277,7 @@ class SVCPipeline:
         # (~20% of scan FLOPs in the naive formulation). On real TPU the
         # per-step forward additionally runs as ONE fused Pallas kernel
         # (VMEM-resident activations, concat-tap conv matmul).
-        if self._use_pallas_denoiser and cond.shape[0] == 1:
+        if self._use_pallas_denoiser:
             from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
                 make_pallas_denoise_fn,
             )

@@ -50,6 +50,24 @@ def test_pallas_denoiser_bf16_close(setup):
     assert np.abs(got - ref).max() < 0.15  # bf16 weights + activations
 
 
+def test_pallas_denoiser_batched(setup, cfg):
+    """grid=(B,L): each batch element matches the fast path independently."""
+    mcfg, params, _x, _cond = setup
+    b, t = 3, 64
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, t, 100)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, t, 384)), jnp.float32)
+    ref_fn = make_fast_denoise_fn(params, cond, 50, mcfg, compute_dtype=jnp.float32)
+    pal_fn = make_pallas_denoise_fn(params, cond, 50, mcfg,
+                                    compute_dtype=jnp.float32, interpret=True)
+    tstep = jnp.full((1, 1), 21, jnp.int32)
+    ref = np.asarray(ref_fn(x, cond, tstep))
+    got = np.asarray(pal_fn(x, cond, tstep))
+    assert got.shape == ref.shape == (b, t, 100)
+    err = np.abs(got - ref).max()
+    assert err < 1e-4, f"batched pallas denoiser err {err}"
+
+
 def test_pallas_denoiser_in_scan(setup):
     """Runs inside a lax.scan (the sampler usage) without retrace issues."""
     from svc_inference_pipeline_tpu.sampling.ddpm import ddpm_sample

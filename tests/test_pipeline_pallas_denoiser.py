@@ -44,12 +44,19 @@ def test_pipeline_pallas_denoiser_matches_xla(cfg, test_wav):
     assert err < 2e-3, f"pallas-denoiser pipeline err {err}"
 
 
-def test_pipeline_pallas_denoiser_batch_falls_back(cfg, test_wav):
-    """B>1 conversions silently take the XLA path (kernel is B=1-only)."""
+def test_pipeline_pallas_denoiser_batched(cfg, test_wav):
+    """B>1 conversions run the batched (grid=(B,L)) kernel and match the
+    XLA-path batch output."""
+    ref_pipe = _mini_pipe(cfg, use_pallas_denoiser=False)
+    ref = ref_pipe.convert_batch(
+        [test_wav, test_wav], ["svcc_CDF1", "svcc_CDF1"], key=jax.random.PRNGKey(1)
+    )
     pipe = _mini_pipe(cfg, use_pallas_denoiser=True)
     waves = pipe.convert_batch(
         [test_wav, test_wav], ["svcc_CDF1", "svcc_CDF1"], key=jax.random.PRNGKey(1)
     )
     assert len(waves) == 2
-    for w in waves:
-        assert np.isfinite(np.asarray(w)).all()
+    for w, r in zip(waves, ref):
+        w, r = np.asarray(w), np.asarray(r)
+        assert w.shape == r.shape
+        assert np.abs(w.astype(np.float64) - r.astype(np.float64)).max() < 2e-3
