@@ -28,6 +28,9 @@ from svc_inference_pipeline_tpu.checkpoints.torch_convert import (
 from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
 from svc_inference_pipeline_tpu.sampling.ddpm import INIT_NOISE_STD, ddpm_sample
 
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
+
 REF_STEPS = 10  # short schedule: noise_schedule_factors → 10-step linear
 
 

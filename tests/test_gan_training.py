@@ -12,6 +12,9 @@ from svc_inference_pipeline_tpu.models.discriminators import (
     PeriodDiscriminator,
 )
 
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
+
 TINY = HParams(
     fs=24000, n_fft=256, n_mels=20, hop_length=64, win_length=256, fmin=0, fmax=12000,
     vocoder=dict(

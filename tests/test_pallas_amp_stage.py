@@ -7,6 +7,9 @@ import pytest
 from svc_inference_pipeline_tpu.ops.pallas.amp_pair import _xla_pair
 from svc_inference_pipeline_tpu.ops.pallas.amp_stage import _xla_stage, fused_amp_stage
 
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
+
 
 def _pair_params(c, k, rng):
     return (

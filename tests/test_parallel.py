@@ -13,9 +13,11 @@ from svc_inference_pipeline_tpu.parallel.sharding import (
     shard_params,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+# slow: >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices"),
+]
 
 
 def test_make_mesh_shapes():

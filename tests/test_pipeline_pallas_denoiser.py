@@ -11,6 +11,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from svc_inference_pipeline_tpu.config import HParams
+import pytest
+
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
 
 
 def _mini_pipe(cfg, use_pallas_denoiser):

@@ -12,6 +12,9 @@ import pytest
 from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
 from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
 
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
+
 T_STEPS = 50
 SHAPE = (1, 8, 4)
 

@@ -11,6 +11,9 @@ import pytest
 
 from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
 
+# >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipe(cfg):

@@ -20,9 +20,11 @@ from svc_inference_pipeline_tpu.parallel.tp_vocoder import (
     vocoder_receptive_radius,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+# slow: >2 min on the 1-CPU CI host (per-file durations audit, BENCH_NOTES.md)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices"),
+]
 
 
 def _small_vocoder(cfg, channels=64):
