@@ -17,12 +17,13 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def _mini_pipe(cfg, use_pallas_denoiser):
+def _mini_pipe(cfg, use_pallas_denoiser, sampler="ddpm"):
     from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
 
     d = cfg.to_dict()
     d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
     d["mapper"]["residual_layer_num"] = 2
+    d["mapper"]["sampler"] = sampler
     d["vocoder"]["upsample_initial_channel"] = 256
     d["use_pallas_vocoder"] = False
     d["use_pallas_denoiser"] = use_pallas_denoiser
@@ -46,6 +47,20 @@ def test_pipeline_pallas_denoiser_matches_xla(cfg, test_wav):
     # the vocoder amplifies the per-step reorder noise (~5e-4 observed)
     err = np.abs(got.astype(np.float64) - ref.astype(np.float64)).max()
     assert err < 2e-3, f"pallas-denoiser pipeline err {err}"
+
+
+def test_pipeline_pallas_denoiser_plms(cfg, test_wav):
+    """The serving fast path (PLMS) drives the same kernel denoise_fn."""
+    ref_pipe = _mini_pipe(cfg, use_pallas_denoiser=False, sampler="plms")
+    ref = np.asarray(ref_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0)))
+
+    pal_pipe = _mini_pipe(cfg, use_pallas_denoiser=True, sampler="plms")
+    assert pal_pipe._use_pallas_denoiser
+    got = np.asarray(pal_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0)))
+
+    assert got.shape == ref.shape
+    err = np.abs(got.astype(np.float64) - ref.astype(np.float64)).max()
+    assert err < 2e-3, f"plms pallas-denoiser pipeline err {err}"
 
 
 def test_pipeline_pallas_denoiser_batched(cfg, test_wav):
