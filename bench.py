@@ -170,11 +170,22 @@ def main():
         "(device + one tunnel round trip; the e2e number adds upload/fetch RTs that a "
         "co-located host would not pay)")
 
+    # ---- headline metric: printed NOW — before the profiler trace and
+    # anything else that could hang or compile. An already-measured RTF
+    # must never be lost to a driver timeout (the round-2 rc-124 lesson).
+    print(json.dumps({
+        "metric": "e2e_rtf_10s_ddpm1000",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": 0.05 / rtf,
+        "core_rtf_10s_ddpm1000": core_rtf,
+    }), flush=True)
+
     # device-only RTF from a profiler trace of the SAME executable: the
     # number a co-located host would see. The tunnel adds ±20-55 ms of RT
     # jitter per call to every wall number above; ProfileData device time
-    # has none of it. No compile risk (the call is warm); guarded anyway.
-    device_rtf = None
+    # has none of it. Auxiliary: logged to stderr AFTER the headline is
+    # banked (the xplane fetch rides the tunnel and could stall).
     try:
         device_ms = _profiled_device_ms(run_core)
         if device_ms:
@@ -182,16 +193,6 @@ def main():
             log(f"profiled device time: {device_ms:.1f} ms → device RTF {device_rtf:.4f}")
     except Exception as e:  # profiling is auxiliary, never fatal
         log(f"device profile unavailable: {e}")
-
-    # ---- headline metric: printed NOW, before anything that might compile ----
-    print(json.dumps({
-        "metric": "e2e_rtf_10s_ddpm1000",
-        "value": rtf,
-        "unit": "rtf",
-        "vs_baseline": 0.05 / rtf,
-        "core_rtf_10s_ddpm1000": core_rtf,
-        "device_rtf_10s_ddpm1000": device_rtf,
-    }), flush=True)
 
     # ---- optional extra: the working PLMS fast path (a different executable;
     # only attempted when the compile caches are clearly hitting) ----

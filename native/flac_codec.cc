@@ -267,7 +267,7 @@ struct FlacInfo {
   int32_t sample_rate;
   int32_t n_frames;
   int32_t n_channels;
-  int32_t error;  // 0 ok; 1 not-flac, 2 bad stream, 10/11 io
+  int32_t error;  // 0 ok; 1 not-flac, 2 bad stream, 3 truncated, 10/11 io
 };
 
 static int read_file(const char* path, std::vector<uint8_t>* buf) {
@@ -342,8 +342,9 @@ void flac_decode_ch0(const char* path, float* out, int32_t n_frames, int32_t* er
     for (int i = 0; i < fh.blocksize && written < n_frames; i++)
       out[written++] = (float)((double)ch0[i] / denom);
   }
-  // zero-fill if the stream ended short of STREAMINFO's promise
-  while (written < n_frames) out[written++] = 0.0f;
+  // a stream that ends short of STREAMINFO's promise is structurally
+  // corrupt (truncated file) — fail loudly, never zero-fill silently
+  if (written < n_frames) { *error = 3; return; }
 }
 
 }  // extern "C"

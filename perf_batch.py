@@ -72,7 +72,7 @@ def main():
             print(f"  (device profile unavailable: {e})", flush=True)
 
         clips_s = b / t
-        speedup = "" if base_clips_s is None else f"  {clips_s / base_clips_s:.2f}x vs B=1"
+        speedup = "" if base_clips_s is None else f"  {clips_s / base_clips_s:.2f}x vs B={sizes[0]}"
         if base_clips_s is None:
             base_clips_s = clips_s
         print(

@@ -37,11 +37,10 @@ class Cfg:
 
 
 LANE = 128
-PAD = 8
 STEPS = 100  # amortise dispatch; report per-step
 
 
-def make_kernel_v2(t_len, c, n_layers, cycle, gate_dtype):
+def make_kernel_v2(t_len, c, n_layers, cycle):
     from jax.experimental import pallas as pl
 
     import jax
@@ -124,7 +123,7 @@ def make_kernel_v2(t_len, c, n_layers, cycle, gate_dtype):
     return kernel
 
 
-def build_v2_fn(params, cond, num_steps, cfg, gate_dtype):
+def build_v2_fn(params, cond, num_steps, cfg):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -156,7 +155,7 @@ def build_v2_fn(params, cond, num_steps, cfg, gate_dtype):
     wo = jnp.pad(params["output_projection"]["kernel"].astype(dt), [(0, 0), (0, m_pad - n_mel)])
     bo = jnp.pad(params["output_projection"]["bias"].astype(dt), (0, m_pad - n_mel))[None]
 
-    kernel = make_kernel_v2(t_len, c, L, cyc, gate_dtype)
+    kernel = make_kernel_v2(t_len, c, L, cyc)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda l: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -287,7 +286,7 @@ def main():
 
     den_xla = diffsvc_fast.make_fast_denoise_fn(params, cond, 1000, cfg)
     den_p1 = make_pallas_denoise_fn(params, cond, 1000, cfg)
-    den_v2 = build_v2_fn(params, cond, 1000, cfg, jnp.float32)
+    den_v2 = build_v2_fn(params, cond, 1000, cfg)
 
     # parity first (one step, t=500)
     x_chk = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.float32)
@@ -298,23 +297,9 @@ def main():
         err = float(jnp.max(jnp.abs(d(x_chk, cond, t_chk) - ref)))
         print(f"parity {nm:14s} max|diff|={err:.3e}  (ref scale {scale:.2f})", flush=True)
 
-    def plain_scan(den_fn):
-        def run(k):
-            x = jax.random.normal(k, shape, jnp.float32)
-            ts = jnp.arange(STEPS - 1, -1, -1, dtype=jnp.int32)
-
-            def body(x, t):
-                e = den_fn(x, cond, jnp.full((1, 1), t, jnp.int32))
-                return e * 1e-3 + x * 0.999, None
-
-            x, _ = jax.lax.scan(body, x, ts, unroll=4)
-            return x[0, 0, 0]
-
-        return run
-
     for nm, d in [("xla fast path", den_xla), ("pallas-r1 (3x K=384)", den_p1),
                   ("pallas-v2 concat-tap", den_v2)]:
-        f = jax.jit(plain_scan(d))
+        f = jax.jit(plain_scan_mod(d, shape, cond))
         timed(nm, lambda f=f: float(f(key)))
 
 

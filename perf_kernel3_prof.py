@@ -38,7 +38,7 @@ def main():
 
     den_xla = diffsvc_fast.make_fast_denoise_fn(params, cond, 1000, cfg)
     den_p1 = make_pallas_denoise_fn(params, cond, 1000, cfg)
-    den_v2 = pk.build_v2_fn(params, cond, 1000, cfg, jnp.float32)
+    den_v2 = pk.build_v2_fn(params, cond, 1000, cfg)
 
     for nm, d in [("xla", den_xla), ("pallas-r1", den_p1), ("pallas-v2", den_v2)]:
         f = jax.jit(pk.plain_scan_mod(d, shape, cond))

@@ -120,6 +120,10 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     lib.flac_probe(path.encode(), ctypes.byref(info))
     if info.error:
         raise OSError(f"{path}: flac probe failed (code {info.error})")
+    if info.n_frames <= 0:
+        # STREAMINFO total_samples=0 is legal ('unknown length', typical of
+        # streaming encoders) but this decoder sizes its output from it
+        raise OSError(f"{path}: FLAC with unknown total_samples is unsupported")
     out = np.empty(info.n_frames, dtype=np.float32)
     err = ctypes.c_int32()
     lib.flac_decode_ch0(

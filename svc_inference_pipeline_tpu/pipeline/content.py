@@ -72,13 +72,22 @@ class WhisperPPGExtractor:
         if compute_dtype != jnp.float32:
             import numpy as np
 
-            def _store(x):
+            def _store(path, x):
+                # LayerNorm scale/bias stay f32 BY PATH, not ndim: the
+                # scan-layers stacking promotes them to [L, C] (ndim 2),
+                # which an ndim test would wrongly cast into the f32 norm
+                # islands (module names: attn_ln / mlp_ln / ln_post)
+                if any(
+                    getattr(k, "key", "").endswith(("_ln", "ln_post"))
+                    for k in path
+                ):
+                    return np.asarray(x)
                 a = np.asarray(x)
                 if a.ndim >= 2 and a.dtype == np.float32:
                     return a.astype(jnp.dtype(compute_dtype))  # host-side cast
                 return a
 
-            params = jax.tree_util.tree_map(_store, params)
+            params = jax.tree_util.tree_map_with_path(_store, params)
         self.params = jax.device_put(params)  # keep weights device-resident
         self.fs = fs
         self.encoder = WhisperAudioEncoder(

@@ -107,10 +107,14 @@ class SVCPipeline:
         # 262 vs 282 us/step profiled against the XLA fast path at the
         # production shape (BENCH_NOTES round 3) — ~20 ms per DDPM-1000
         # conversion. Single-device only: under TP the denoiser params are
-        # channel-sharded and GSPMD can't split a Pallas custom call.
+        # channel-sharded, and under a data-only mesh the batch-sharded
+        # inputs would hit an unpartitionable Mosaic custom call — GSPMD
+        # can't split a pallas_call, so any mesh routes to the XLA fast
+        # path (which shards cleanly). A shard_map wrapper over the data
+        # axis is the future lift if multi-chip DDPM inference matters.
         self._use_pallas_denoiser = bool(
             cfg.get("use_pallas_denoiser", jax.default_backend() == "tpu")
-            and not self.tp
+            and self.mesh is None
             and cfg.mapper.residual_kernel_size == 3
             and cfg.mapper.residual_channels % 128 == 0
         )
@@ -279,28 +283,20 @@ class SVCPipeline:
         # (VMEM-resident activations, concat-tap conv matmul).
         if self._use_pallas_denoiser:
             from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
-                make_pallas_denoise_fn,
-            )
-
-            denoise_fn = make_pallas_denoise_fn(
-                denoiser_params,
-                cond,
-                self.schedule.num_steps,
-                self.cfg.mapper,
-                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+                make_pallas_denoise_fn as make_denoise_fn,
             )
         else:
             from svc_inference_pipeline_tpu.models.diffsvc_fast import (
-                make_fast_denoise_fn,
+                make_fast_denoise_fn as make_denoise_fn,
             )
 
-            denoise_fn = make_fast_denoise_fn(
-                denoiser_params,
-                cond,
-                self.schedule.num_steps,
-                self.cfg.mapper,
-                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
-            )
+        denoise_fn = make_denoise_fn(
+            denoiser_params,
+            cond,
+            self.schedule.num_steps,
+            self.cfg.mapper,
+            compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+        )
 
         b = cond.shape[0]
         shape = (b, n_frames, self.cfg.mapper.n_mel)

@@ -172,6 +172,13 @@ class SVCServer:
             raise RuntimeError("server closed")
         req = _Request(np.asarray(audio), singer)
         self.queue.put(req)
+        # close() may have landed between the check and the put — the worker
+        # could already have drained and exited, stranding req until the
+        # 600 s timeout. Re-check and fail fast (event.set is idempotent, so
+        # racing with a concurrent _drain is harmless).
+        if self.closed and not req.event.is_set():
+            req.error = RuntimeError("server closed")
+            req.event.set()
         if not req.event.wait(timeout=self.REQUEST_TIMEOUT_S):
             raise TimeoutError(
                 f"conversion not completed within {self.REQUEST_TIMEOUT_S:.0f}s"

@@ -111,3 +111,46 @@ def test_truncated_stream_fails_loudly(tmp_path):
 
     with pytest.raises(OSError):
         read_flac(bad)
+
+
+def _patch_total_samples(data: bytes, total: int) -> bytes:
+    """Rewrite STREAMINFO's 36-bit total_samples field (payload bytes
+    13..17 after the 8-byte fLaC+block header)."""
+    b = bytearray(data)
+    off = 8
+    b[off + 13] = (b[off + 13] & 0xF0) | ((total >> 32) & 0x0F)
+    b[off + 14] = (total >> 24) & 0xFF
+    b[off + 15] = (total >> 16) & 0xFF
+    b[off + 16] = (total >> 8) & 0xFF
+    b[off + 17] = total & 0xFF
+    return bytes(b)
+
+
+def test_stream_shorter_than_streaminfo_fails(tmp_path):
+    """A stream ending at a frame boundary short of STREAMINFO's promise
+    must error (previously zero-filled silently)."""
+    pcm = _tone_pcm(4000, 1, 16, seed=6)
+    path = str(tmp_path / "short.flac")
+    write_flac(path, pcm, 24000)
+    data = _patch_total_samples(open(path, "rb").read(), 4000 * 2)
+    bad = str(tmp_path / "overclaim.flac")
+    open(bad, "wb").write(data)
+    from svc_inference_pipeline_tpu.native.wav_codec import read_flac
+
+    with pytest.raises(OSError, match="code 3"):
+        read_flac(bad)
+
+
+def test_unknown_total_samples_rejected(tmp_path):
+    """STREAMINFO total_samples=0 ('unknown', streaming encoders) is
+    rejected loudly rather than decoding to an empty array."""
+    pcm = _tone_pcm(4000, 1, 16, seed=7)
+    path = str(tmp_path / "unk.flac")
+    write_flac(path, pcm, 24000)
+    data = _patch_total_samples(open(path, "rb").read(), 0)
+    bad = str(tmp_path / "unknown_len.flac")
+    open(bad, "wb").write(data)
+    from svc_inference_pipeline_tpu.native.wav_codec import read_flac
+
+    with pytest.raises(OSError, match="unknown total_samples"):
+        read_flac(bad)

@@ -159,6 +159,32 @@ def test_extractor_scan_layers_matches_unrolled():
     assert np.abs(a - b).max() < 2e-2
 
 
+def test_scanned_bf16_storage_keeps_layernorm_f32():
+    """bf16 weight storage must not catch the stacked [L, C] LayerNorm
+    scales/biases (the f32 norm islands) — they are excluded by path, not
+    ndim."""
+    import jax
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.pipeline.content import WhisperPPGExtractor
+
+    plain = WhisperPPGExtractor.random_init("tiny", scan_layers=False)
+    scanned = WhisperPPGExtractor(
+        plain.dims,
+        jax.tree_util.tree_map(np.asarray, plain.params),
+        scan_layers=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    block = scanned.params["blocks"]["block"]
+    for ln in ("attn_ln", "mlp_ln"):
+        for leaf in ("scale", "bias"):
+            assert block[ln][leaf].dtype == jnp.float32, (ln, leaf)
+    assert scanned.params["ln_post"]["scale"].dtype == jnp.float32
+    # while the stacked matmul weights ARE stored bf16
+    assert block["attn"]["query"]["kernel"].dtype == jnp.bfloat16
+    assert block["mlp_0"]["kernel"].dtype == jnp.bfloat16
+
+
 def test_scanned_layout_tp_rules():
     """WHISPER_TP_RULES cover the scanned params layout (leading layer axis
     unsharded, head/mlp dims sharded)."""
