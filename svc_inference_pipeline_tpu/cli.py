@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", "-i", action="append", required=True, help="source wav (repeatable)")
     p.add_argument("--singer", "-s", action="append", required=True, help="target singer name (repeatable)")
     p.add_argument("--output", "-o", action="append", required=True, help="output wav path (repeatable)")
-    p.add_argument("--sampler", choices=["ddpm", "plms", "ddim"], default=None, help="override cfg.mapper.sampler")
+    p.add_argument("--sampler", choices=["ddpm", "plms", "ddim", "dpmpp"], default=None, help="override cfg.mapper.sampler")
     p.add_argument("--speedup", type=int, default=None, help="PLMS stride (default from config)")
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed")
     p.add_argument("--random-weights", action="store_true", help="random-init models (no checkpoints needed)")

@@ -310,6 +310,12 @@ class SVCPipeline:
             mel_norm = ddim_sample(
                 denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
             )
+        elif self.sampler == "dpmpp":
+            from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+            mel_norm = dpmpp_sample(
+                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+            )
         else:
             mel_norm = ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
 
@@ -352,12 +358,12 @@ class SVCPipeline:
     # ------------------------------------------------------------------
 
     def set_sampler(self, sampler: str, speedup: Optional[int] = None) -> None:
-        """Switch the sampler ("ddpm" | "plms" | "ddim") at runtime.
+        """Switch the sampler ("ddpm" | "plms" | "ddim" | "dpmpp") at runtime.
 
         Re-jits the core; previously compiled executables for other
         samplers stay cached in the process.
         """
-        assert sampler in ("ddpm", "plms", "ddim"), sampler
+        assert sampler in ("ddpm", "plms", "ddim", "dpmpp"), sampler
         self.sampler = sampler
         if speedup is not None:
             self.plms_speedup = int(speedup)

@@ -132,7 +132,9 @@ def test_set_sampler_switches_paths(pipe, test_wav):
     b = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
     pipe.set_sampler("plms", speedup=10)
     c = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
-    assert len(a) == len(b) == len(c)
+    pipe.set_sampler("dpmpp", speedup=10)
+    d = pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0))
+    assert len(a) == len(b) == len(c) == len(d)
     # different sampler trajectories → different waveforms
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
-    assert np.isfinite(b).all() and np.isfinite(c).all()
+    assert np.isfinite(b).all() and np.isfinite(c).all() and np.isfinite(d).all()

@@ -201,3 +201,110 @@ def test_training_loss_finite(schedule, cond):
     loss, t = ddpm_training_loss(denoise, x0, cond, jax.random.PRNGKey(0), schedule)
     assert np.isfinite(float(loss))
     assert t.shape == (1,)
+
+
+# --------------------------------------------------------------------------
+# DPM-Solver++ (sampling/dpmpp.py)
+# --------------------------------------------------------------------------
+
+
+def test_dpmpp_order1_equals_ddim_eta0(schedule, cond):
+    """The first-order DPM-Solver++ update is DDIM η=0 in exponential-
+    integrator form — array-for-array on the same key and grid (clipping
+    off: DDIM mixes the raw model ε with the clipped x̂₀, DPM++ is
+    consistently x̂₀-space, so the identity holds unclipped)."""
+    from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+    fn = _linear_denoiser()
+    key = jax.random.PRNGKey(5)
+    speedup = 5
+    ddim_grid = np.arange(0, T_STEPS, speedup)[::-1].copy()
+    a = np.asarray(ddim_sample(fn, cond, key, SHAPE, schedule, speedup=speedup,
+                               eta=0.0, clip_denoised=False))
+    b = np.asarray(dpmpp_sample(fn, cond, key, SHAPE, schedule, order=1,
+                                clip_denoised=False, timesteps=ddim_grid))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_dpmpp_2m_beats_first_order(schedule, cond):
+    """2M tracks the fine-grid trajectory closer than the first-order
+    solver on the same coarse grid (the point of the method), and the
+    advantage grows as the grid refines (second-order convergence)."""
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+    fn = _linear_denoiser()
+    key = jax.random.PRNGKey(7)
+    fine = np.arange(T_STEPS - 1, -1, -1)
+    exact = np.asarray(dpmpp_sample(fn, cond, key, SHAPE, schedule,
+                                    clip_denoised=False, timesteps=fine))
+    ratios = []
+    for speedup in (5, 2):
+        o1 = np.asarray(dpmpp_sample(fn, cond, key, SHAPE, schedule, order=1,
+                                     speedup=speedup, clip_denoised=False))
+        o2 = np.asarray(dpmpp_sample(fn, cond, key, SHAPE, schedule, order=2,
+                                     speedup=speedup, clip_denoised=False))
+        e1 = np.abs(o1 - exact).mean()
+        e2 = np.abs(o2 - exact).mean()
+        assert e2 < e1, (speedup, e1, e2)
+        ratios.append(e1 / e2)
+    assert ratios[1] > ratios[0], ratios  # finer grid → bigger 2M advantage
+
+
+def test_dpmpp_deterministic_and_finite(schedule, cond):
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+    fn = _linear_denoiser()
+    a = np.asarray(dpmpp_sample(fn, cond, jax.random.PRNGKey(1), SHAPE, schedule))
+    b = np.asarray(dpmpp_sample(fn, cond, jax.random.PRNGKey(1), SHAPE, schedule))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    assert a.shape == SHAPE
+
+
+def test_dpmpp_grid_endpoints():
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_timesteps
+
+    for speedup in (1, 2, 5, 10):
+        ts = dpmpp_timesteps(50, speedup)
+        assert ts[0] == 49 and ts[-1] == 0, (speedup, ts)
+        assert (np.diff(ts) < 0).all()
+    assert len(dpmpp_timesteps(50, 1)) == 50
+
+
+def test_dpmpp_numpy_oracle(schedule, cond):
+    """Full float64 numpy re-derivation of the 2M update chain."""
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample, dpmpp_timesteps
+    from svc_inference_pipeline_tpu.sampling.ddpm import INIT_NOISE_STD
+
+    fn = _linear_denoiser()
+    key = jax.random.PRNGKey(9)
+    speedup = 7
+    ours = np.asarray(dpmpp_sample(fn, cond, key, SHAPE, schedule, speedup=speedup))
+
+    _, _, a_cum, _ = _oracle_schedule(T_STEPS)
+    alphas = np.sqrt(a_cum)
+    sigmas = np.sqrt(1.0 - a_cum)
+    lambdas = np.log(alphas / sigmas)
+    _, init_key = jax.random.split(key)
+    x = INIT_NOISE_STD * np.asarray(
+        jax.random.normal(init_key, SHAPE, dtype=jnp.float32)
+    ).astype(np.float64)
+    ts = dpmpp_timesteps(T_STEPS, speedup)
+    x0_prev, h_prev, first = None, None, True
+    for i, t in enumerate(ts):
+        tn = ts[i + 1] if i + 1 < len(ts) else 0
+        eps = np.asarray(fn(jnp.asarray(x, jnp.float32), cond,
+                            jnp.full((1, 1), t, jnp.int32))).astype(np.float64)
+        x0 = np.clip((x - sigmas[t] * eps) / alphas[t], -1.0, 1.0)
+        h = lambdas[tn] - lambdas[t]
+        if first or h == 0.0:
+            d = x0
+        else:
+            r = h_prev / h
+            d = (1.0 + 1.0 / (2 * r)) * x0 - (1.0 / (2 * r)) * x0_prev
+        x_next = (sigmas[tn] / sigmas[t]) * x - alphas[tn] * np.expm1(-h) * d
+        if t == 0:
+            x_next = x0
+        x, x0_prev, h_prev, first = x_next, x0, h, False
+    np.testing.assert_allclose(ours, x, rtol=2e-4, atol=2e-5)
