@@ -40,6 +40,9 @@ class DiffusionTrainState:
     enc_params: Any
     den_params: Any
     opt_state: Any
+    # exponential moving average of {enc, den} — the standard diffusion
+    # eval/inference weights (the raw trajectory is noticeably noisier)
+    ema_params: Any = None
 
 
 def init_diffusion_train_state(
@@ -72,6 +75,7 @@ def init_diffusion_train_state(
         enc_params=enc_params,
         den_params=den_params,
         opt_state=opt_state,
+        ema_params={"enc": enc_params, "den": den_params},
     )
     return state, optimizer
 
@@ -80,8 +84,13 @@ def make_diffusion_train_step(
     cfg,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    ema_decay: float = 0.999,
 ) -> Callable:
-    """Build the jitted train step; with a mesh, params/batch are sharded."""
+    """Build the jitted train step; with a mesh, params/batch are sharded.
+
+    ``ema_decay`` drives the shadow weights; the effective decay warms up
+    as min(decay, (1+step)/(10+step)) so early EMA tracks the fast-moving
+    params instead of the random init."""
     mcfg = cfg.mapper
     encoder = ConditionEncoder(mcfg)
     denoiser = DiffSVCDenoiser(mcfg)
@@ -103,12 +112,18 @@ def make_diffusion_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         params = optax.apply_updates(params, updates)
+        step_f = state.step.astype(jnp.float32)
+        d = jnp.minimum(ema_decay, (1.0 + step_f) / (10.0 + step_f))
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), state.ema_params, params
+        )
         return (
             DiffusionTrainState(
                 step=state.step + 1,
                 enc_params=params["enc"],
                 den_params=params["den"],
                 opt_state=opt_state,
+                ema_params=ema,
             ),
             loss,
         )
@@ -126,11 +141,16 @@ def make_diffusion_train_step(
         enc = shard_params(state.enc_params, mesh, MAPPER_TP_RULES)
         den = shard_params(state.den_params, mesh, MAPPER_TP_RULES)
         opt = jax.device_put(state.opt_state, NamedSharding(mesh, P()))
+        ema = {
+            "enc": shard_params(state.ema_params["enc"], mesh, MAPPER_TP_RULES),
+            "den": shard_params(state.ema_params["den"], mesh, MAPPER_TP_RULES),
+        }
         return DiffusionTrainState(
             step=jax.device_put(state.step, NamedSharding(mesh, P())),
             enc_params=enc,
             den_params=den,
             opt_state=opt,
+            ema_params=ema,
         )
 
     step_fn = jax.jit(train_step)

@@ -81,3 +81,34 @@ def test_bucketed_loader(cfg, test_wav, tmp_path):
     # feature cache hit on second pass
     batches2 = list(loader)
     np.testing.assert_allclose(batches2[0]["loudness"].sum(), b["loudness"].sum(), rtol=0.2)
+
+
+def test_ema_shadow_weights(small_cfg):
+    """One train step updates the EMA exactly as d·init + (1−d)·new with
+    the warmup decay d = min(0.999, (1+step)/(10+step))."""
+    import jax
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.training.diffusion import (
+        init_diffusion_train_state,
+        make_diffusion_train_step,
+    )
+
+    state, optimizer = init_diffusion_train_state(small_cfg, jax.random.PRNGKey(0))
+    step_fn = make_diffusion_train_step(small_cfg, optimizer, ema_decay=0.999)
+    batch = next(iter(_fake_loader(1)))
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    init_params = {"enc": state.enc_params, "den": state.den_params}
+    new_state, loss = step_fn(state, arrays, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    d = min(0.999, 1.0 / 10.0)  # step 0 warmup
+    new_params = {"enc": new_state.enc_params, "den": new_state.den_params}
+    expect = jax.tree_util.tree_map(
+        lambda e, p: e * d + p * (1.0 - d), init_params, new_params
+    )
+    flat_got = jax.tree_util.tree_leaves(new_state.ema_params)
+    flat_exp = jax.tree_util.tree_leaves(expect)
+    for g, e in zip(flat_got, flat_exp):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-5, atol=1e-7)
