@@ -53,6 +53,28 @@ def f0_rmse_cents(wav_a: np.ndarray, wav_b: np.ndarray, cfg) -> Dict[str, float]
     }
 
 
+def mcd_db(wav_a: np.ndarray, wav_b: np.ndarray, cfg, n_coeffs: int = 13) -> float:
+    """Mel-cepstral distortion (dB) — the standard SVC-challenge spectral
+    metric: DCT-II of the log-mel spectrogram → cepstra c₁..c_K (c₀, the
+    frame energy, excluded), frame-aligned,
+        MCD = (10/ln10)·√2 · mean‖c_a − c_b‖₂.
+    """
+    import jax.numpy as jnp
+    from scipy.fftpack import dct
+
+    from svc_inference_pipeline_tpu.ops.mel import extract_mel_features
+
+    a, b = _align(np.asarray(wav_a), np.asarray(wav_b))
+    ma, _ = extract_mel_features(jnp.asarray(a), cfg)
+    mb, _ = extract_mel_features(jnp.asarray(b), cfg)
+    # mel features are ln-scale; DCT over the mel axis gives the cepstra
+    ca = dct(np.asarray(ma), type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
+    cb = dct(np.asarray(mb), type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
+    n = min(len(ca), len(cb))
+    dist = np.sqrt(np.sum((ca[:n] - cb[:n]) ** 2, axis=-1))
+    return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * dist.mean())
+
+
 def waveform_snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """SNR of ``test`` against ``ref`` (dB), sample-aligned."""
     a, b = _align(np.asarray(ref, np.float64), np.asarray(test, np.float64))
@@ -72,6 +94,7 @@ def evaluate_pair(ref_path: str, test_path: str, cfg=None) -> Dict[str, float]:
     test, _ = load_audio(test_path, cfg.fs)
     out: Dict[str, float] = {
         "mel_mae": mel_mae(ref, test, cfg),
+        "mcd_db": mcd_db(ref, test, cfg),
         "snr_db": waveform_snr_db(ref, test),
     }
     out.update(f0_rmse_cents(ref, test, cfg))

@@ -37,3 +37,19 @@ def test_evaluate_pair_on_reference_files(test_wav, golden_wav):
     assert np.isfinite(out["mel_mae"]) and out["mel_mae"] > 0
     assert np.isfinite(out["snr_db"])
     assert 0 <= out["voicing_agreement"] <= 1
+
+
+def test_mcd_db_properties(cfg):
+    """MCD is 0 for identical audio, positive otherwise, and monotone in
+    the size of a fixed perturbation."""
+    from svc_inference_pipeline_tpu.eval import mcd_db
+
+    rng = np.random.default_rng(3)
+    t = np.arange(24000) / 24000.0
+    a = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    assert mcd_db(a, a, cfg) == 0.0
+    assert mcd_db(a, (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), cfg) > 0.5
+    noise = rng.standard_normal(len(a)).astype(np.float32)
+    d_small = mcd_db(a, a + 0.001 * noise, cfg)
+    d_big = mcd_db(a, a + 0.05 * noise, cfg)
+    assert 0 < d_small < d_big
