@@ -106,17 +106,26 @@ class SVCPipeline:
         # fused whole-step denoiser kernel (ops/pallas/denoiser_step.py):
         # 262 vs 282 us/step profiled against the XLA fast path at the
         # production shape (BENCH_NOTES round 3) — ~20 ms per DDPM-1000
-        # conversion. Single-device only: under TP the denoiser params are
-        # channel-sharded, and under a data-only mesh the batch-sharded
-        # inputs would hit an unpartitionable Mosaic custom call — GSPMD
-        # can't split a pallas_call, so any mesh routes to the XLA fast
-        # path (which shards cleanly). A shard_map wrapper over the data
-        # axis is the future lift if multi-chip DDPM inference matters.
-        self._use_pallas_denoiser = bool(
+        # conversion. Not under TP: the denoiser params are channel-sharded
+        # and GSPMD can't split a Pallas custom call. Under a data-only
+        # mesh the kernel stays live via shard_map over the data axis
+        # (each shard runs the full sampler on its local clips —
+        # _sample_dp_pallas); batches not divisible by the data size fall
+        # back to the XLA fast path, which GSPMD shards cleanly.
+        kernel_shapes_ok = bool(
             cfg.get("use_pallas_denoiser", jax.default_backend() == "tpu")
-            and self.mesh is None
             and cfg.mapper.residual_kernel_size == 3
             and cfg.mapper.residual_channels % 128 == 0
+        )
+        self._use_pallas_denoiser = kernel_shapes_ok and self.mesh is None
+        self._data_axis = (
+            cfg.parallel.get("data_axis", "data") if "parallel" in cfg else "data"
+        )
+        self._dp_size = (
+            dict(mesh.shape).get(self._data_axis, 1) if mesh is not None else 0
+        )
+        self._dp_pallas_denoiser = bool(
+            kernel_shapes_ok and mesh is not None and not self.tp and self._dp_size > 1
         )
         if self.tp:
             from svc_inference_pipeline_tpu.parallel.sharding import (
@@ -300,24 +309,15 @@ class SVCPipeline:
 
         b = cond.shape[0]
         shape = (b, n_frames, self.cfg.mapper.n_mel)
-        if self.sampler == "plms":
-            mel_norm = plms_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
-            )
-        elif self.sampler == "ddim":
-            from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
-
-            mel_norm = ddim_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
-            )
-        elif self.sampler == "dpmpp":
-            from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
-
-            mel_norm = dpmpp_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
-            )
+        if self._dp_pallas_denoiser and b % self._dp_size == 0:
+            # data-only mesh + fused kernel: GSPMD can't partition a
+            # pallas_call, so shard_map over the data axis — each shard
+            # builds the kernel denoise_fn on its local batch and runs the
+            # full sampler (no cross-shard comms in the denoiser); keys
+            # fold the shard index so noise stays independent per clip
+            mel_norm = self._sample_dp_pallas(denoiser_params, cond, key, n_frames)
         else:
-            mel_norm = ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
+            mel_norm = self._run_sampler(denoise_fn, cond, key, shape)
 
         # per-channel denormalisation (acoustic_feature_extraction.py:83-97),
         # without the reference's device→numpy→device round-trip
@@ -356,6 +356,69 @@ class SVCPipeline:
     # ------------------------------------------------------------------
     # Public API
     # ------------------------------------------------------------------
+
+    def _run_sampler(self, denoise_fn, cond, key, shape):
+        if self.sampler == "plms":
+            return plms_sample(
+                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+            )
+        if self.sampler == "ddim":
+            from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
+
+            return ddim_sample(
+                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+            )
+        if self.sampler == "dpmpp":
+            from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+            return dpmpp_sample(
+                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+            )
+        return ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
+
+    def _sample_dp_pallas(self, denoiser_params, cond, key, n_frames):
+        """Sampler over a data-only mesh with the fused Pallas denoiser:
+        shard_map over the data axis; each shard is exactly a single-device
+        conversion of its local clips with key=fold_in(key, shard_index)."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.4.35 moved shard_map to the top level
+            from jax import shard_map as _sm
+
+            shard_map = functools.partial(_sm, check_vma=False)
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _sm_old
+
+            shard_map = functools.partial(_sm_old, check_rep=False)
+
+        from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
+            make_pallas_denoise_fn,
+        )
+
+        data_axis = self._data_axis
+        n_mel = self.cfg.mapper.n_mel
+
+        def body(dn_params, cond_l):
+            k = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+            fn = make_pallas_denoise_fn(
+                dn_params,
+                cond_l,
+                self.schedule.num_steps,
+                self.cfg.mapper,
+                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+            )
+            return self._run_sampler(
+                fn, cond_l, k, (cond_l.shape[0], n_frames, n_mel)
+            )
+
+        return shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(data_axis, None, None)),
+            out_specs=P(data_axis, None, None),
+        )(denoiser_params, cond)
 
     def set_sampler(self, sampler: str, speedup: Optional[int] = None) -> None:
         """Switch the sampler ("ddpm" | "plms" | "ddim" | "dpmpp") at runtime.

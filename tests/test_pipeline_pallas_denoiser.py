@@ -79,3 +79,39 @@ def test_pipeline_pallas_denoiser_batched(cfg, test_wav):
         w, r = np.asarray(w), np.asarray(r)
         assert w.shape == r.shape
         assert np.abs(w.astype(np.float64) - r.astype(np.float64)).max() < 2e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ virtual devices")
+def test_pipeline_pallas_denoiser_dp_mesh(cfg, test_wav):
+    """Data-only mesh keeps the fused kernel live via shard_map: each data
+    shard is exactly a single-device kernel conversion of its local clip
+    with key = fold_in(key, shard_index)."""
+    from svc_inference_pipeline_tpu.parallel.mesh import make_mesh
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+
+    d = cfg.to_dict()
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    d["mapper"]["residual_layer_num"] = 2
+    d["vocoder"]["upsample_initial_channel"] = 256
+    d["use_pallas_vocoder"] = False
+    d["use_pallas_denoiser"] = True
+    d["compute_dtype"] = "float32"
+    small = HParams(**d)
+
+    mesh = make_mesh(data=2, model=1)
+    dp = SVCPipeline.from_config(small, random_weights=True, whisper_size="tiny", mesh=mesh)
+    assert dp._dp_pallas_denoiser and not dp._use_pallas_denoiser
+    key = jax.random.PRNGKey(11)
+    waves = dp.convert_batch([test_wav, test_wav], ["svcc_CDF1", "svcc_IDM1"], key=key)
+    assert len(waves) == 2
+
+    single = SVCPipeline.from_config(small, random_weights=True, whisper_size="tiny")
+    assert single._use_pallas_denoiser
+    for i, singer in enumerate(["svcc_CDF1", "svcc_IDM1"]):
+        ref = np.asarray(
+            single.convert(test_wav, singer, key=jax.random.fold_in(key, i))
+        )
+        got = np.asarray(waves[i])
+        n = min(len(ref), len(got))
+        err = np.abs(got[:n].astype(np.float64) - ref[:n].astype(np.float64)).max()
+        assert err < 2e-3, f"dp shard {i} err {err}"
