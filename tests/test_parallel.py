@@ -209,3 +209,27 @@ def test_pipeline_batch_data_parallel(cfg, test_wav):
     assert all(np.isfinite(w).all() for w in waves)
     # different singers → different outputs
     assert np.abs(waves[0] - waves[1]).max() > 1e-6
+
+
+def test_distributed_single_process_noop(monkeypatch):
+    """Without coordination config, ensure_initialized is a no-op and the
+    process info reflects the single-process runtime."""
+    from svc_inference_pipeline_tpu.parallel import distributed
+
+    monkeypatch.delenv("SVC_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not distributed.is_distributed_env()
+    assert distributed.ensure_initialized() is False
+    info = distributed.process_info()
+    assert info["process_index"] == 0 and info["process_count"] == 1
+    assert info["global_devices"] == len(jax.devices())
+
+
+def test_distributed_env_detection(monkeypatch):
+    from svc_inference_pipeline_tpu.parallel import distributed
+
+    monkeypatch.setenv("SVC_COORDINATOR", "10.0.0.1:8476")
+    assert distributed.is_distributed_env()
+    monkeypatch.delenv("SVC_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1,host-2,host-3")
+    assert distributed.is_distributed_env()
