@@ -53,26 +53,32 @@ def f0_rmse_cents(wav_a: np.ndarray, wav_b: np.ndarray, cfg) -> Dict[str, float]
     }
 
 
+def mcd_from_mels(ma: np.ndarray, mb: np.ndarray, n_coeffs: int = 13) -> float:
+    """MCD (dB) from two ln-mel spectrograms shaped [n_mels, T]."""
+    from scipy.fftpack import dct
+
+    # per-FRAME DCT-II over the MEL axis → cepstra; c₀ (frame energy)
+    # excluded. Features are [n_mels, T] (time last) — transpose first.
+    ca = dct(np.asarray(ma).T, type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
+    cb = dct(np.asarray(mb).T, type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
+    n = min(len(ca), len(cb))  # frame alignment
+    dist = np.sqrt(np.sum((ca[:n] - cb[:n]) ** 2, axis=-1))
+    return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * dist.mean())
+
+
 def mcd_db(wav_a: np.ndarray, wav_b: np.ndarray, cfg, n_coeffs: int = 13) -> float:
     """Mel-cepstral distortion (dB) — the standard SVC-challenge spectral
-    metric: DCT-II of the log-mel spectrogram → cepstra c₁..c_K (c₀, the
-    frame energy, excluded), frame-aligned,
+    metric: per-frame DCT-II of the log-mel → cepstra c₁..c_K,
         MCD = (10/ln10)·√2 · mean‖c_a − c_b‖₂.
     """
     import jax.numpy as jnp
-    from scipy.fftpack import dct
 
     from svc_inference_pipeline_tpu.ops.mel import extract_mel_features
 
     a, b = _align(np.asarray(wav_a), np.asarray(wav_b))
     ma, _ = extract_mel_features(jnp.asarray(a), cfg)
     mb, _ = extract_mel_features(jnp.asarray(b), cfg)
-    # mel features are ln-scale; DCT over the mel axis gives the cepstra
-    ca = dct(np.asarray(ma), type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
-    cb = dct(np.asarray(mb), type=2, axis=-1, norm="ortho")[:, 1 : n_coeffs + 1]
-    n = min(len(ca), len(cb))
-    dist = np.sqrt(np.sum((ca[:n] - cb[:n]) ** 2, axis=-1))
-    return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * dist.mean())
+    return mcd_from_mels(np.asarray(ma), np.asarray(mb), n_coeffs)
 
 
 def waveform_snr_db(ref: np.ndarray, test: np.ndarray) -> float:
@@ -89,12 +95,20 @@ def evaluate_pair(ref_path: str, test_path: str, cfg=None) -> Dict[str, float]:
     from svc_inference_pipeline_tpu.config import DEFAULT_CONFIG, load_config
     from svc_inference_pipeline_tpu.utils.audio_io import load_audio
 
+    import jax.numpy as jnp
+
+    from svc_inference_pipeline_tpu.ops.mel import extract_mel_features
+
     cfg = cfg or load_config(DEFAULT_CONFIG)
     ref, _ = load_audio(ref_path, cfg.fs)
     test, _ = load_audio(test_path, cfg.fs)
+    # one mel front-end pass per waveform, shared by both spectral metrics
+    a, b = _align(np.asarray(ref), np.asarray(test))
+    ma = np.asarray(extract_mel_features(jnp.asarray(a), cfg)[0])
+    mb = np.asarray(extract_mel_features(jnp.asarray(b), cfg)[0])
     out: Dict[str, float] = {
-        "mel_mae": mel_mae(ref, test, cfg),
-        "mcd_db": mcd_db(ref, test, cfg),
+        "mel_mae": float(np.abs(ma - mb).mean()),
+        "mcd_db": mcd_from_mels(ma, mb),
         "snr_db": waveform_snr_db(ref, test),
     }
     out.update(f0_rmse_cents(ref, test, cfg))

@@ -37,10 +37,12 @@ _INITIALIZED = False
 
 def is_distributed_env() -> bool:
     """True when multi-process coordination is configured or implied."""
-    return bool(os.environ.get("SVC_COORDINATOR")) or bool(
-        os.environ.get("TPU_WORKER_HOSTNAMES", "").strip()
-        and len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
-    )
+    if os.environ.get("SVC_COORDINATOR"):
+        return True
+    if int(os.environ.get("SVC_NUM_PROCESSES", "1") or "1") > 1:
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "").strip()
+    return bool(hosts and len(hosts.split(",")) > 1)
 
 
 def ensure_initialized(
@@ -66,6 +68,15 @@ def ensure_initialized(
         process_id = int(os.environ["SVC_PROCESS_ID"])
 
     if coordinator:
+        # topology auto-detection exists only on Cloud TPU/Slurm/OMPI; the
+        # generic fleet case this path serves needs the full triple — fail
+        # with a clear message instead of a RuntimeError deep inside JAX
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                "ensure_initialized: a coordinator address needs the process "
+                "topology too — set SVC_NUM_PROCESSES and SVC_PROCESS_ID (or "
+                "pass num_processes/process_id)"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
@@ -73,6 +84,14 @@ def ensure_initialized(
         )
         _INITIALIZED = True
         return True
+
+    if num_processes is not None and num_processes > 1:
+        # a launcher exported a multi-process topology but no coordinator:
+        # proceeding would silently run N independent copies of the job
+        raise ValueError(
+            "ensure_initialized: SVC_NUM_PROCESSES > 1 but no SVC_COORDINATOR "
+            "— refusing to run as independent single-process copies"
+        )
 
     if is_distributed_env():
         # Cloud TPU metadata discovery (coordinator etc. auto-resolved)

@@ -290,23 +290,6 @@ class SVCPipeline:
         # (~20% of scan FLOPs in the naive formulation). On real TPU the
         # per-step forward additionally runs as ONE fused Pallas kernel
         # (VMEM-resident activations, concat-tap conv matmul).
-        if self._use_pallas_denoiser:
-            from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
-                make_pallas_denoise_fn as make_denoise_fn,
-            )
-        else:
-            from svc_inference_pipeline_tpu.models.diffsvc_fast import (
-                make_fast_denoise_fn as make_denoise_fn,
-            )
-
-        denoise_fn = make_denoise_fn(
-            denoiser_params,
-            cond,
-            self.schedule.num_steps,
-            self.cfg.mapper,
-            compute_dtype=self.denoiser.compute_dtype or jnp.float32,
-        )
-
         b = cond.shape[0]
         shape = (b, n_frames, self.cfg.mapper.n_mel)
         if self._dp_pallas_denoiser and b % self._dp_size == 0:
@@ -317,6 +300,22 @@ class SVCPipeline:
             # fold the shard index so noise stays independent per clip
             mel_norm = self._sample_dp_pallas(denoiser_params, cond, key, n_frames)
         else:
+            if self._use_pallas_denoiser:
+                from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
+                    make_pallas_denoise_fn as make_denoise_fn,
+                )
+            else:
+                from svc_inference_pipeline_tpu.models.diffsvc_fast import (
+                    make_fast_denoise_fn as make_denoise_fn,
+                )
+
+            denoise_fn = make_denoise_fn(
+                denoiser_params,
+                cond,
+                self.schedule.num_steps,
+                self.cfg.mapper,
+                compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+            )
             mel_norm = self._run_sampler(denoise_fn, cond, key, shape)
 
         # per-channel denormalisation (acoustic_feature_extraction.py:83-97),

@@ -50,8 +50,24 @@ def train_diffusion(
 
     start_step = 0
     if checkpoint_dir and os.path.isdir(os.path.join(checkpoint_dir, "latest")):
-        restored = load_checkpoint(os.path.join(checkpoint_dir, "latest"), target=state)
-        state = restored
+        path = os.path.join(checkpoint_dir, "latest")
+        try:
+            state = load_checkpoint(path, target=state)
+        except Exception:
+            # pre-EMA checkpoint (no ema_params on disk): restore against
+            # the legacy layout and seed the EMA from the restored params
+            legacy = DiffusionTrainState(
+                step=state.step,
+                enc_params=state.enc_params,
+                den_params=state.den_params,
+                opt_state=state.opt_state,
+                ema_params=None,
+            )
+            restored = load_checkpoint(path, target=legacy)
+            state = restored.replace(
+                ema_params={"enc": restored.enc_params, "den": restored.den_params}
+            )
+            log.info("migrated pre-EMA checkpoint: EMA seeded from params")
         start_step = int(state.step)
         log.info("resumed from step %d", start_step)
 

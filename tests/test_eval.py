@@ -48,7 +48,10 @@ def test_mcd_db_properties(cfg):
     t = np.arange(24000) / 24000.0
     a = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
     assert mcd_db(a, a, cfg) == 0.0
-    assert mcd_db(a, (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), cfg) > 0.5
+    # distinct pitches are grossly distorted — per-frame cepstral distance
+    # on sharp harmonic spectra lands in the tens of dB (a wrong-axis DCT
+    # yields ~6 dB here; guard the axis)
+    assert mcd_db(a, (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), cfg) > 20.0
     noise = rng.standard_normal(len(a)).astype(np.float32)
     d_small = mcd_db(a, a + 0.001 * noise, cfg)
     d_big = mcd_db(a, a + 0.05 * noise, cfg)

@@ -233,3 +233,21 @@ def test_distributed_env_detection(monkeypatch):
     monkeypatch.delenv("SVC_COORDINATOR", raising=False)
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1,host-2,host-3")
     assert distributed.is_distributed_env()
+
+
+def test_distributed_inconsistent_config_fails_fast(monkeypatch):
+    from svc_inference_pipeline_tpu.parallel import distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    # coordinator without topology → clear error, not a deep JAX failure
+    monkeypatch.setenv("SVC_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.delenv("SVC_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("SVC_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="SVC_NUM_PROCESSES"):
+        distributed.ensure_initialized()
+    # topology without coordinator → refuse to run N independent copies
+    monkeypatch.delenv("SVC_COORDINATOR", raising=False)
+    monkeypatch.setenv("SVC_NUM_PROCESSES", "4")
+    assert distributed.is_distributed_env()
+    with pytest.raises(ValueError, match="SVC_COORDINATOR"):
+        distributed.ensure_initialized()

@@ -112,3 +112,26 @@ def test_ema_shadow_weights(small_cfg):
     flat_exp = jax.tree_util.tree_leaves(expect)
     for g, e in zip(flat_got, flat_exp):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-5, atol=1e-7)
+
+
+def test_resume_from_pre_ema_checkpoint(small_cfg, tmp_path):
+    """Checkpoints written before the EMA field existed restore with the
+    EMA seeded from the restored params (migration path)."""
+    import jax
+
+    from svc_inference_pipeline_tpu.checkpoints.native_io import save_checkpoint
+    from svc_inference_pipeline_tpu.training.diffusion import init_diffusion_train_state
+    from svc_inference_pipeline_tpu.training.loop import train_diffusion
+
+    state, _ = init_diffusion_train_state(small_cfg, jax.random.PRNGKey(0))
+    legacy = state.replace(step=state.step + 3, ema_params=None)
+    ckpt_dir = tmp_path / "ckpts"
+    save_checkpoint(str(ckpt_dir / "latest"), jax.device_get(legacy))
+
+    out = train_diffusion(
+        small_cfg, list(_fake_loader()), num_steps=5, checkpoint_dir=str(ckpt_dir)
+    )
+    assert int(out.step) == 5
+    assert out.ema_params is not None
+    leaves = jax.tree_util.tree_leaves(out.ema_params)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
