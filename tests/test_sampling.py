@@ -308,3 +308,45 @@ def test_dpmpp_numpy_oracle(schedule, cond):
             x_next = x0
         x, x0_prev, h_prev, first = x_next, x0, h, False
     np.testing.assert_allclose(ours, x, rtol=2e-4, atol=2e-5)
+
+
+def test_dpmpp_fidelity_on_real_denoiser():
+    """On the real DiffSVC architecture with the production 1000-step
+    schedule, dpmpp@10 tracks the fine-grid ODE trajectory orders of
+    magnitude closer than ddim@10 (measured 0.0026 vs 0.98 mel-MAE on a
+    random-weight field; plms' eps-space AB extrapolation can diverge
+    outright there, so it is reported but not asserted)."""
+    from svc_inference_pipeline_tpu.config import HParams
+    from svc_inference_pipeline_tpu.models.diffsvc import DiffSVCDenoiser
+    from svc_inference_pipeline_tpu.models.diffsvc_fast import make_fast_denoise_fn
+    from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
+    from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
+
+    L, C, M, T = 4, 128, 32, 64
+    mcfg = HParams(
+        input_content_dim={"whisper": 32}, content_feature=["whisper"],
+        conditioner_size=C, residual_layer_num=L, residual_channels=C,
+        residual_kernel_size=3, dilation_cycle_length=2, n_mel=M,
+        noise_schedule_factors=[1e-4, 0.02, 1000], diffusion_fc_size=128,
+    )
+    den = DiffSVCDenoiser(mcfg)
+    key = jax.random.PRNGKey(0)
+    params = den.init(
+        key, jnp.zeros((1, T, M)), jnp.zeros((1, T, C)), jnp.zeros((1, 1), jnp.int32)
+    )["params"]
+    rng = np.random.default_rng(1)
+    params["output_projection"]["kernel"] = jnp.asarray(
+        rng.standard_normal(params["output_projection"]["kernel"].shape) * 0.05,
+        jnp.float32,
+    )
+    cond = jnp.asarray(rng.standard_normal((1, T, C)) * 0.3, jnp.float32)
+    sched = DiffusionSchedule.from_config(mcfg)
+    fn = make_fast_denoise_fn(params, cond, 1000, mcfg, compute_dtype=jnp.float32)
+    shape = (1, T, M)
+    k = jax.random.PRNGKey(3)
+
+    exact = np.asarray(dpmpp_sample(fn, cond, k, shape, sched, speedup=1))
+    e_dpmpp = np.abs(np.asarray(dpmpp_sample(fn, cond, k, shape, sched, speedup=10)) - exact).mean()
+    e_ddim = np.abs(np.asarray(ddim_sample(fn, cond, k, shape, sched, speedup=10, eta=0.0)) - exact).mean()
+    assert e_dpmpp < 0.05, e_dpmpp
+    assert e_dpmpp < e_ddim / 10.0, (e_dpmpp, e_ddim)
