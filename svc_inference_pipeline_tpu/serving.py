@@ -356,6 +356,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--whisper-size", default="tiny")
+    p.add_argument("--sampler", choices=["ddpm", "plms", "ddim", "dpmpp"],
+                   default=None, help="override cfg.mapper.sampler")
+    p.add_argument("--speedup", type=int, default=None, help="fast-sampler stride")
     args = p.parse_args(argv)
 
     from svc_inference_pipeline_tpu.config import load_config
@@ -365,6 +368,8 @@ def main(argv: Optional[list] = None) -> int:
     pipeline = SVCPipeline.from_config(
         cfg, random_weights=args.random_weights, whisper_size=args.whisper_size
     )
+    if args.sampler or args.speedup is not None:
+        pipeline.set_sampler(args.sampler or pipeline.sampler, speedup=args.speedup)
     httpd = serve(cfg, pipeline, args.host, args.port)
     print(f"serving on {args.host}:{args.port}")
     httpd.serve_forever()
