@@ -154,3 +154,37 @@ def test_unknown_total_samples_rejected(tmp_path):
 
     with pytest.raises(OSError, match="unknown total_samples"):
         read_flac(bad)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_roundtrip_fuzz(tmp_path, seed):
+    """Seeded fuzz over the encoder's parameter space: random signal,
+    bits/blocksize/stereo-mode/subframe combinations — channel-0 must
+    round-trip exactly."""
+    rng = np.random.default_rng(100 + seed)
+    bits = int(rng.choice([16, 24]))
+    blocksize = int(rng.choice([192, 576, 1024, 4096]))
+    mode = str(rng.choice(["independent", "left-side", "right-side", "mid-side"]))
+    subframe = str(rng.choice(["constant", "verbatim", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]))
+    n = int(rng.integers(300, 9000))
+    ch = 2 if mode != "independent" else int(rng.choice([1, 2]))
+
+    amp = (1 << (bits - 2)) - 1
+    if subframe == "constant":
+        pcm = np.full((n, ch), int(rng.integers(-amp, amp)), np.int64)
+    else:
+        t = np.arange(n)[:, None]
+        f = rng.uniform(30, 4000, ch)[None, :]
+        pcm = (amp * 0.5 * np.sin(2 * np.pi * f * t / 24000)
+               + rng.integers(-64, 64, (n, ch))).astype(np.int64)
+        pcm = np.clip(pcm, -amp, amp)
+
+    path = str(tmp_path / f"fuzz{seed}.flac")
+    write_flac(path, pcm, 24000, bits=bits, blocksize=blocksize,
+               mode=mode, subframe=subframe)
+    from svc_inference_pipeline_tpu.native.wav_codec import read_flac
+
+    out, rate = read_flac(path)
+    assert rate == 24000
+    expect = pcm[:, 0].astype(np.float64) / (1 << (bits - 1))
+    np.testing.assert_allclose(out[:, 0].astype(np.float64), expect, atol=2 ** -(bits - 1) / 2)
