@@ -157,7 +157,8 @@ def main():
 
     def run_core():
         out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
-                         arrays, key, n_true, n_frames=padded, pcm16=True)
+                         arrays, key, n_true, n_frames=padded, pcm16=True,
+                         sampler=pipe.sampler, speedup=pipe.plms_speedup)
         np.asarray(out)  # fetch → one tunnel round trip, like convert()
 
     core_times = []

@@ -185,7 +185,14 @@ class SVCPipeline:
         self.sampler = cfg.mapper.get("sampler", "ddpm")
         self.plms_speedup = int(cfg.mapper.get("plms_speedup", 10))
 
-        self._core = jax.jit(self._convert_core, static_argnames=("n_frames", "pcm16"))
+        # ONE jit wrapper; the sampler choice is a static argument, not a
+        # trace-time self attribute: jax's trace cache compares equal bound
+        # methods as the same function, so per-sampler jax.jit wrappers
+        # silently shared traces (the first sampler won — caught by test)
+        self._core = jax.jit(
+            self._convert_core,
+            static_argnames=("n_frames", "pcm16", "sampler", "speedup"),
+        )
 
     # ------------------------------------------------------------------
     # Builders
@@ -282,6 +289,8 @@ class SVCPipeline:
         n_true: jnp.ndarray,  # [B] int32 — true frame count per row
         n_frames: int,
         pcm16: bool = False,
+        sampler: str = "ddpm",
+        speedup: int = 10,
     ) -> jnp.ndarray:
         cond = self.cond_encoder.apply({"params": cond_params}, batch)
 
@@ -298,7 +307,9 @@ class SVCPipeline:
             # builds the kernel denoise_fn on its local batch and runs the
             # full sampler (no cross-shard comms in the denoiser); keys
             # fold the shard index so noise stays independent per clip
-            mel_norm = self._sample_dp_pallas(denoiser_params, cond, key, n_frames)
+            mel_norm = self._sample_dp_pallas(
+                denoiser_params, cond, key, n_frames, sampler, speedup
+            )
         else:
             if self._use_pallas_denoiser:
                 from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
@@ -316,7 +327,7 @@ class SVCPipeline:
                 self.cfg.mapper,
                 compute_dtype=self.denoiser.compute_dtype or jnp.float32,
             )
-            mel_norm = self._run_sampler(denoise_fn, cond, key, shape)
+            mel_norm = self._run_sampler(denoise_fn, cond, key, shape, sampler, speedup)
 
         # per-channel denormalisation (acoustic_feature_extraction.py:83-97),
         # without the reference's device→numpy→device round-trip
@@ -356,26 +367,26 @@ class SVCPipeline:
     # Public API
     # ------------------------------------------------------------------
 
-    def _run_sampler(self, denoise_fn, cond, key, shape):
-        if self.sampler == "plms":
+    def _run_sampler(self, denoise_fn, cond, key, shape, sampler, speedup):
+        if sampler == "plms":
             return plms_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+                denoise_fn, cond, key, shape, self.schedule, speedup=speedup
             )
-        if self.sampler == "ddim":
+        if sampler == "ddim":
             from svc_inference_pipeline_tpu.sampling.ddim import ddim_sample
 
             return ddim_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+                denoise_fn, cond, key, shape, self.schedule, speedup=speedup
             )
-        if self.sampler == "dpmpp":
+        if sampler == "dpmpp":
             from svc_inference_pipeline_tpu.sampling.dpmpp import dpmpp_sample
 
             return dpmpp_sample(
-                denoise_fn, cond, key, shape, self.schedule, speedup=self.plms_speedup
+                denoise_fn, cond, key, shape, self.schedule, speedup=speedup
             )
         return ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
 
-    def _sample_dp_pallas(self, denoiser_params, cond, key, n_frames):
+    def _sample_dp_pallas(self, denoiser_params, cond, key, n_frames, sampler, speedup):
         """Sampler over a data-only mesh with the fused Pallas denoiser:
         shard_map over the data axis; each shard is exactly a single-device
         conversion of its local clips with key=fold_in(key, shard_index)."""
@@ -409,7 +420,7 @@ class SVCPipeline:
                 compute_dtype=self.denoiser.compute_dtype or jnp.float32,
             )
             return self._run_sampler(
-                fn, cond_l, k, (cond_l.shape[0], n_frames, n_mel)
+                fn, cond_l, k, (cond_l.shape[0], n_frames, n_mel), sampler, speedup
             )
 
         return shard_map(
@@ -422,14 +433,14 @@ class SVCPipeline:
     def set_sampler(self, sampler: str, speedup: Optional[int] = None) -> None:
         """Switch the sampler ("ddpm" | "plms" | "ddim" | "dpmpp") at runtime.
 
-        Re-jits the core; previously compiled executables for other
-        samplers stay cached in the process.
+        Pure attribute update: the sampler is a static argument of the one
+        jitted core, so every (sampler, speedup) combination keeps its own
+        compiled executable in the jit cache.
         """
         assert sampler in ("ddpm", "plms", "ddim", "dpmpp"), sampler
         self.sampler = sampler
         if speedup is not None:
             self.plms_speedup = int(speedup)
-        self._core = jax.jit(self._convert_core, static_argnames=("n_frames", "pcm16"))
 
     def mel_frame_count(self, n_samples: int) -> int:
         """Frame count of the mel front-end, analytically (no device sync)."""
@@ -681,6 +692,8 @@ class SVCPipeline:
             jnp.asarray([n_frames], jnp.int32),
             n_frames=padded,
             pcm16=pcm16,
+            sampler=self.sampler,
+            speedup=self.plms_speedup,
         )
         audio = np.asarray(wave)[0, : n_frames * self.cfg.hop_length].copy()
 
@@ -735,6 +748,7 @@ class SVCPipeline:
             self._core(
                 self.cond_params, self.denoiser_params, self.vocoder_params,
                 tiled, key, jnp.full((b,), n_frames, jnp.int32), n_frames=padded,
+                sampler=self.sampler, speedup=self.plms_speedup,
             )
         )
         return [waves[i, : n_frames * self.cfg.hop_length].copy() for i in range(b)]
@@ -775,6 +789,8 @@ class SVCPipeline:
                 key,
                 jnp.asarray(frame_counts, jnp.int32),
                 n_frames=padded,
+                sampler=self.sampler,
+                speedup=self.plms_speedup,
             )
         )
 

@@ -5,7 +5,8 @@ small HTTP server wraps the pipeline:
 
     python -m svc_inference_pipeline_tpu.serving --port 8787 --random-weights
 
-    POST /convert?singer=svcc_CDF1   (body: WAV bytes) → WAV bytes
+    POST /convert?singer=svcc_CDF1[&sampler=dpmpp&speedup=10]
+                                     (body: WAV bytes) → WAV bytes
     GET  /healthz                    → {"status": "ok", ...}
     GET  /singers                    → name → id map
     GET  /metrics                    → observability JSON
@@ -33,11 +34,13 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("audio", "singer", "event", "result", "error")
+    __slots__ = ("audio", "singer", "sampler", "speedup", "event", "result", "error")
 
-    def __init__(self, audio, singer):
+    def __init__(self, audio, singer, sampler=None, speedup=None):
         self.audio = audio
         self.singer = singer
+        self.sampler = sampler  # per-request override (None = server default)
+        self.speedup = speedup
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -114,13 +117,32 @@ class SVCServer:
             req.event.set()
 
     def _run(self, batch) -> None:
+        # a coalesced batch can mix per-request sampler overrides: group by
+        # (sampler, speedup) and convert each group in one device batch
+        # (set_sampler is cheap — jitted cores are cached per sampler)
+        groups: dict = {}
+        for r in batch:
+            groups.setdefault((r.sampler, r.speedup), []).append(r)
+        for (sampler, speedup), group in groups.items():
+            self._run_group(group, sampler, speedup)
+
+    def _run_group(self, batch, sampler, speedup) -> None:
         from svc_inference_pipeline_tpu.utils.observability import get_logger
 
+        default = (self.pipeline.sampler, self.pipeline.plms_speedup)
         try:
             with self._device_lock:
-                waves = self.pipeline.convert_batch(
-                    [r.audio for r in batch], [r.singer for r in batch]
-                )
+                if sampler or speedup:
+                    self.pipeline.set_sampler(
+                        sampler or default[0], speedup=speedup
+                    )
+                try:
+                    waves = self.pipeline.convert_batch(
+                        [r.audio for r in batch], [r.singer for r in batch]
+                    )
+                finally:
+                    if sampler or speedup:
+                        self.pipeline.set_sampler(default[0], speedup=default[1])
             for r, w in zip(batch, waves):
                 r.result = w
             self._count(conversions=len(batch), batches=1)
@@ -142,9 +164,19 @@ class SVCServer:
                 for r in batch:
                     try:
                         with self._device_lock:
-                            r.result = self.pipeline.convert(
-                                np.asarray(r.audio), r.singer
-                            )
+                            if sampler or speedup:
+                                self.pipeline.set_sampler(
+                                    sampler or default[0], speedup=speedup
+                                )
+                            try:
+                                r.result = self.pipeline.convert(
+                                    np.asarray(r.audio), r.singer
+                                )
+                            finally:
+                                if sampler or speedup:
+                                    self.pipeline.set_sampler(
+                                        default[0], speedup=default[1]
+                                    )
                         self._count(conversions=1)
                     except Exception as e2:  # noqa: BLE001
                         r.error = e2
@@ -158,7 +190,9 @@ class SVCServer:
 
     # -- request entry -----------------------------------------------------
 
-    def convert_bytes(self, wav_bytes: bytes, singer: str) -> bytes:
+    def convert_bytes(self, wav_bytes: bytes, singer: str,
+                      sampler: Optional[str] = None,
+                      speedup: Optional[int] = None) -> bytes:
         from svc_inference_pipeline_tpu.utils.audio_io import load_audio, save_audio
         from svc_inference_pipeline_tpu.utils.registry import get_singer_id
 
@@ -170,7 +204,7 @@ class SVCServer:
 
         if self.closed:
             raise RuntimeError("server closed")
-        req = _Request(np.asarray(audio), singer)
+        req = _Request(np.asarray(audio), singer, sampler=sampler, speedup=speedup)
         self.queue.put(req)
         # close() may have landed between the check and the put — the worker
         # could already have drained and exited, stranding req until the
@@ -286,6 +320,18 @@ class SVCServer:
                 if not singer:
                     self._json(400, {"error": "missing ?singer="})
                     return
+                sampler = query.get("sampler", [None])[0]
+                if sampler is not None and sampler not in ("ddpm", "plms", "ddim", "dpmpp"):
+                    self._json(400, {"error": f"unknown sampler {sampler!r}"})
+                    return
+                speedup = None
+                if query.get("speedup"):
+                    try:
+                        speedup = int(query["speedup"][0])
+                        assert speedup >= 1
+                    except (ValueError, AssertionError):
+                        self._json(400, {"error": "speedup must be a positive int"})
+                        return
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:
                     self._json(400, {"error": "empty body (expected WAV bytes)"})
@@ -325,7 +371,8 @@ class SVCServer:
                         pass  # client went away mid-stream — just stop
                     return
                 try:
-                    out = server.convert_bytes(body, singer)
+                    out = server.convert_bytes(body, singer, sampler=sampler,
+                                               speedup=speedup)
                 except KeyError as e:
                     self._json(400, {"error": str(e)})
                     return

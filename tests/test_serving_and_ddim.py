@@ -152,3 +152,37 @@ def test_convert_stream_endpoint(http_server, tmp_path):
     pcm = np.frombuffer(raw, dtype="<i2")
     assert len(pcm) == len(wav)
     assert np.abs(pcm).max() > 50  # non-silent
+
+
+def test_convert_endpoint_per_request_sampler(http_server, tmp_path):
+    """?sampler=&speedup= override the server default per request; invalid
+    values 400 before enqueue."""
+    from svc_inference_pipeline_tpu.utils.audio_io import read_wav, write_wav
+
+    fs = 24000
+    t = np.arange(fs) / fs
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = tmp_path / "in.wav"
+    write_wav(str(path), wav, fs)
+    body = open(path, "rb").read()
+
+    req = urllib.request.Request(
+        f"{http_server}/convert?singer=svcc_CDF1&sampler=dpmpp&speedup=5",
+        data=body, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = r.read()
+    out_path = tmp_path / "out.wav"
+    out_path.write_bytes(out)
+    audio, sr = read_wav(str(out_path))
+    assert sr == 24000 and audio.shape[0] > fs
+
+    bad = urllib.request.Request(
+        f"{http_server}/convert?singer=svcc_CDF1&sampler=euler",
+        data=body, method="POST",
+    )
+    try:
+        urllib.request.urlopen(bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
