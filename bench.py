@@ -155,10 +155,12 @@ def main():
     padded = batch["melody"].shape[1]
     n_true = jnp.asarray([n_frames], jnp.int32)
 
+    core_sampler, core_speedup = pipe._resolve_sampler(None, None)
+
     def run_core():
         out = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
                          arrays, key, n_true, n_frames=padded, pcm16=True,
-                         sampler=pipe.sampler, speedup=pipe.plms_speedup)
+                         sampler=core_sampler, speedup=core_speedup)
         np.asarray(out)  # fetch → one tunnel round trip, like convert()
 
     core_times = []

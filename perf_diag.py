@@ -90,7 +90,9 @@ def main():
         "core (cond+ddpm1000+vocoder)",
         lambda: pipe._core(
             pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params, arrays, key,
-            jnp.asarray([padded], jnp.int32), n_frames=padded
+            jnp.asarray([padded], jnp.int32), n_frames=padded,
+            sampler=pipe._resolve_sampler(None, None)[0],
+            speedup=pipe._resolve_sampler(None, None)[1],
         ).block_until_ready(),
     )
 

@@ -79,9 +79,10 @@ def main():
             "loudness": energy,
             "singer": jnp.asarray(get_singer_id(cfg, "svcc_CDF1")[None].astype(np.int32)),
         }
+        smp, spd = pipe._resolve_sampler(None, None)
         wave = pipe._core(pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
                           batch, key, jnp.asarray([n_frames], jnp.int32),
-                          n_frames=padded, pcm16=True)
+                          n_frames=padded, pcm16=True, sampler=smp, speedup=spd)
         t["core_dispatch"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         wave.block_until_ready()

@@ -289,8 +289,9 @@ class SVCPipeline:
         n_true: jnp.ndarray,  # [B] int32 — true frame count per row
         n_frames: int,
         pcm16: bool = False,
-        sampler: str = "ddpm",
-        speedup: int = 10,
+        *,
+        sampler: str,
+        speedup: int,
     ) -> jnp.ndarray:
         cond = self.cond_encoder.apply({"params": cond_params}, batch)
 
@@ -430,6 +431,22 @@ class SVCPipeline:
             out_specs=P(data_axis, None, None),
         )(denoiser_params, cond)
 
+    SAMPLERS = ("ddpm", "plms", "ddim", "dpmpp")
+
+    def _resolve_sampler(self, sampler: Optional[str], speedup: Optional[int]):
+        """Validated (sampler, speedup) with pipeline defaults; ddpm pins
+        the stride (it ignores it — a varying value would only fork the
+        static-arg executable cache with byte-identical graphs)."""
+        sampler = sampler or self.sampler
+        if sampler not in self.SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} (choose from {self.SAMPLERS})")
+        speedup = int(speedup) if speedup is not None else self.plms_speedup
+        if speedup < 1:
+            raise ValueError(f"speedup must be >= 1, got {speedup}")
+        if sampler == "ddpm":
+            speedup = 1
+        return sampler, speedup
+
     def set_sampler(self, sampler: str, speedup: Optional[int] = None) -> None:
         """Switch the sampler ("ddpm" | "plms" | "ddim" | "dpmpp") at runtime.
 
@@ -437,7 +454,10 @@ class SVCPipeline:
         jitted core, so every (sampler, speedup) combination keeps its own
         compiled executable in the jit cache.
         """
-        assert sampler in ("ddpm", "plms", "ddim", "dpmpp"), sampler
+        if sampler not in self.SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} (choose from {self.SAMPLERS})")
+        if speedup is not None and int(speedup) < 1:
+            raise ValueError(f"speedup must be >= 1, got {speedup}")
         self.sampler = sampler
         if speedup is not None:
             self.plms_speedup = int(speedup)
@@ -669,14 +689,18 @@ class SVCPipeline:
         pcm16: bool = False,
         upload_pcm16: bool = False,
         pitch_factor: Optional[float] = None,
+        sampler: Optional[str] = None,
+        speedup: Optional[int] = None,
     ) -> np.ndarray:
         """Convert one utterance to the target singer → waveform @ cfg.fs.
 
         ``pcm16=True`` finalises on device (peak-norm 0.9 + int16 — the
         exact WAV payload) and returns int16 samples; the device→host
         transfer halves versus float32. ``upload_pcm16=True`` halves the
-        upload too (see :meth:`extract_features`).
+        upload too (see :meth:`extract_features`). ``sampler``/``speedup``
+        override the pipeline defaults for this call only.
         """
+        sampler, speedup = self._resolve_sampler(sampler, speedup)
         key = key if key is not None else jax.random.PRNGKey(int(time.time_ns() % 2**31))
         batch, n_frames = self.extract_features(
             wav, singer_name, upload_pcm16=upload_pcm16, pitch_factor=pitch_factor
@@ -692,8 +716,8 @@ class SVCPipeline:
             jnp.asarray([n_frames], jnp.int32),
             n_frames=padded,
             pcm16=pcm16,
-            sampler=self.sampler,
-            speedup=self.plms_speedup,
+            sampler=sampler,
+            speedup=speedup,
         )
         audio = np.asarray(wave)[0, : n_frames * self.cfg.hop_length].copy()
 
@@ -758,13 +782,17 @@ class SVCPipeline:
         wavs: Sequence[Union[str, np.ndarray]],
         singer_names: Sequence[str],
         key: Optional[jax.Array] = None,
+        sampler: Optional[str] = None,
+        speedup: Optional[int] = None,
     ) -> List[np.ndarray]:
         """Batched multi-utterance / multi-singer conversion.
 
         All utterances are padded to one bucket and converted in a single
         device batch; with a mesh, the batch shards over the data axis.
+        ``sampler``/``speedup`` override the pipeline defaults per call.
         """
         assert len(wavs) == len(singer_names)
+        sampler, speedup = self._resolve_sampler(sampler, speedup)
         key = key if key is not None else jax.random.PRNGKey(0)
 
         merged, frame_counts = self.extract_features_batch(wavs, singer_names)
@@ -789,8 +817,8 @@ class SVCPipeline:
                 key,
                 jnp.asarray(frame_counts, jnp.int32),
                 n_frames=padded,
-                sampler=self.sampler,
-                speedup=self.plms_speedup,
+                sampler=sampler,
+                speedup=speedup,
             )
         )
 

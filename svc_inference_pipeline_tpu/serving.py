@@ -33,6 +33,10 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+#: client-selectable fast-sampler strides (each pair compiles once)
+ALLOWED_SPEEDUPS = frozenset({1, 2, 5, 10, 20, 50, 100})
+
+
 class _Request:
     __slots__ = ("audio", "singer", "sampler", "speedup", "event", "result", "error")
 
@@ -118,31 +122,24 @@ class SVCServer:
 
     def _run(self, batch) -> None:
         # a coalesced batch can mix per-request sampler overrides: group by
-        # (sampler, speedup) and convert each group in one device batch
-        # (set_sampler is cheap — jitted cores are cached per sampler)
+        # the RESOLVED (sampler, speedup) — explicit defaults coalesce with
+        # unspecified ones — and convert each group in one device batch
         groups: dict = {}
         for r in batch:
-            groups.setdefault((r.sampler, r.speedup), []).append(r)
+            key = self.pipeline._resolve_sampler(r.sampler, r.speedup)
+            groups.setdefault(key, []).append(r)
         for (sampler, speedup), group in groups.items():
             self._run_group(group, sampler, speedup)
 
     def _run_group(self, batch, sampler, speedup) -> None:
         from svc_inference_pipeline_tpu.utils.observability import get_logger
 
-        default = (self.pipeline.sampler, self.pipeline.plms_speedup)
         try:
             with self._device_lock:
-                if sampler or speedup:
-                    self.pipeline.set_sampler(
-                        sampler or default[0], speedup=speedup
-                    )
-                try:
-                    waves = self.pipeline.convert_batch(
-                        [r.audio for r in batch], [r.singer for r in batch]
-                    )
-                finally:
-                    if sampler or speedup:
-                        self.pipeline.set_sampler(default[0], speedup=default[1])
+                waves = self.pipeline.convert_batch(
+                    [r.audio for r in batch], [r.singer for r in batch],
+                    sampler=sampler, speedup=speedup,
+                )
             for r, w in zip(batch, waves):
                 r.result = w
             self._count(conversions=len(batch), batches=1)
@@ -164,19 +161,10 @@ class SVCServer:
                 for r in batch:
                     try:
                         with self._device_lock:
-                            if sampler or speedup:
-                                self.pipeline.set_sampler(
-                                    sampler or default[0], speedup=speedup
-                                )
-                            try:
-                                r.result = self.pipeline.convert(
-                                    np.asarray(r.audio), r.singer
-                                )
-                            finally:
-                                if sampler or speedup:
-                                    self.pipeline.set_sampler(
-                                        default[0], speedup=default[1]
-                                    )
+                            r.result = self.pipeline.convert(
+                                np.asarray(r.audio), r.singer,
+                                sampler=sampler, speedup=speedup,
+                            )
                         self._count(conversions=1)
                     except Exception as e2:  # noqa: BLE001
                         r.error = e2
@@ -328,9 +316,14 @@ class SVCServer:
                 if query.get("speedup"):
                     try:
                         speedup = int(query["speedup"][0])
-                        assert speedup >= 1
-                    except (ValueError, AssertionError):
-                        self._json(400, {"error": "speedup must be a positive int"})
+                    except ValueError:
+                        speedup = -1
+                    # allowlist: every novel (sampler, speedup) pair compiles
+                    # a fresh core executable while holding the device lock —
+                    # an open-ended client value is a trivial compile DoS
+                    if speedup not in ALLOWED_SPEEDUPS:
+                        self._json(400, {"error":
+                            f"speedup must be one of {sorted(ALLOWED_SPEEDUPS)}"})
                         return
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0:

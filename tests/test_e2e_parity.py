@@ -134,6 +134,8 @@ def test_full_chain_parity_vs_reference(reference_modules, ref_chain, cfg, test_
         pipe.cond_params, pipe.denoiser_params, pipe.vocoder_params,
         arrays, jax.random.PRNGKey(0),
         jnp.asarray([padded], jnp.int32), n_frames=padded,
+        sampler=pipe._resolve_sampler(None, None)[0],
+        speedup=pipe._resolve_sampler(None, None)[1],
     )
     wave_ours = np.asarray(wave)[0]
     assert wave_ours.shape == wave_t.shape

@@ -182,7 +182,7 @@ def test_convert_endpoint_per_request_sampler(http_server, tmp_path):
         data=body, method="POST",
     )
     try:
-        urllib.request.urlopen(bad)
+        urllib.request.urlopen(bad, timeout=60)
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
