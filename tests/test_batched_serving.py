@@ -105,7 +105,7 @@ def test_poison_request_fails_alone(pipe, monkeypatch):
 
     real_convert = pipe.convert
 
-    def bad_batch(wavs, singers, key=None):
+    def bad_batch(wavs, singers, key=None, **kw):
         raise RuntimeError("simulated systemic batch failure")
 
     def picky_convert(wav, singer, **kw):
@@ -168,7 +168,7 @@ def test_single_request_batch_failure_fails_fast(pipe, monkeypatch):
 
     calls = {"convert": 0}
 
-    def bad_batch(wavs, singers, key=None):
+    def bad_batch(wavs, singers, key=None, **kw):
         raise RuntimeError("boom")
 
     def count_convert(wav, singer, **kw):
