@@ -733,6 +733,8 @@ class SVCPipeline:
         context_seconds: float = 1.0,
         key: Optional[jax.Array] = None,
         upload_pcm16: bool = False,
+        sampler: Optional[str] = None,
+        speedup: Optional[int] = None,
     ):
         """Generator of converted chunks (pipeline/streaming.py): bounded
         time-to-first-audio and O(chunk) memory for arbitrarily long input;
@@ -742,7 +744,7 @@ class SVCPipeline:
         return stream_convert(
             self, wav, singer_name,
             chunk_seconds=chunk_seconds, context_seconds=context_seconds,
-            key=key, upload_pcm16=upload_pcm16,
+            key=key, upload_pcm16=upload_pcm16, sampler=sampler, speedup=speedup,
         )
 
     def convert_multi_singer(

@@ -36,6 +36,8 @@ def stream_convert(
     context_seconds: float = 1.0,
     key=None,
     upload_pcm16: bool = False,
+    sampler=None,
+    speedup=None,
 ) -> Iterator[np.ndarray]:
     """Yield converted waveform chunks for ``wav`` (path or array @ cfg.fs).
 
@@ -60,7 +62,8 @@ def stream_convert(
     ctx = max(1, min(int(round(context_seconds * fs)), chunk // 4))
 
     if len(audio) <= chunk + ctx:
-        yield pipe.convert(audio, singer_name, key=key, upload_pcm16=upload_pcm16)
+        yield pipe.convert(audio, singer_name, key=key, upload_pcm16=upload_pcm16,
+                           sampler=sampler, speedup=speedup)
         return
 
     # pin the pitch-shift factor from the first chunk's voiced median
@@ -87,7 +90,7 @@ def stream_convert(
         seg[off : off + (hi - lo)] = audio[lo:hi]
         k = jax.random.fold_in(key, idx)
         out = pipe.convert(seg, singer_name, key=k, upload_pcm16=upload_pcm16,
-                           pitch_factor=factor)
+                           pitch_factor=factor, sampler=sampler, speedup=speedup)
         out = np.asarray(out, dtype=np.float32)
 
         core_len = min(chunk, len(audio) - s)

@@ -213,7 +213,9 @@ class SVCServer:
             return open(out.name, "rb").read()
 
     def convert_stream_pcm(self, wav_bytes: bytes, singer: str,
-                           chunk_seconds: float = 10.0):
+                           chunk_seconds: float = 10.0,
+                           sampler: Optional[str] = None,
+                           speedup: Optional[int] = None):
         """Generator of raw PCM16 byte chunks (pipeline/streaming.py).
 
         Bypasses the coalescing *queue* but not the device: each chunk's
@@ -232,7 +234,8 @@ class SVCServer:
             audio, _ = load_audio(f.name, self.cfg.fs)
 
         gen = self.pipeline.convert_streaming(
-            np.asarray(audio), singer, chunk_seconds=chunk_seconds
+            np.asarray(audio), singer, chunk_seconds=chunk_seconds,
+            sampler=sampler, speedup=speedup,
         )
         while True:
             # the device work happens lazily inside next(): hold the lock
@@ -336,7 +339,9 @@ class SVCServer:
                     # first audio is O(chunk), not O(clip)
                     try:
                         chunk_s = float(query.get("chunk_seconds", ["10"])[0])
-                        gen = server.convert_stream_pcm(body, singer, chunk_s)
+                        gen = server.convert_stream_pcm(body, singer, chunk_s,
+                                                        sampler=sampler,
+                                                        speedup=speedup)
                         first = next(gen)  # raise before headers if broken
                     except KeyError as e:
                         self._json(400, {"error": str(e)})
