@@ -33,17 +33,20 @@ def main():
     reps = int(np.ceil(10 * cfg.fs / len(audio)))
     audio = np.tile(audio, reps)[: 10 * cfg.fs]
 
-    pipe = SVCPipeline.from_config(cfg, random_weights=True, whisper_size="medium")
+    # bucket=16 + pcm16 + upload_pcm16: the exact executables bench.py
+    # compiled (persistent cache hit — a different signature would pay a
+    # fresh multi-minute remote compile)
+    pipe = SVCPipeline.from_config(cfg, random_weights=True, whisper_size="medium", bucket=16)
     key = jax.random.PRNGKey(0)
 
     # compile + warm
-    wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)
+    wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
     print("warm ok", wave.shape, file=sys.stderr)
 
     trace_dir = "/tmp/jax_trace_core"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True)
+        wave = pipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
 
     # find the xplane file
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
