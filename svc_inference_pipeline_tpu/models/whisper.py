@@ -89,10 +89,21 @@ class _LayerNormF32(nn.Module):
         return y.astype(x.dtype)
 
 
-def _attention(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
+def _attention(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None,
+               use_pallas: bool = True):
     """Split-scale attention (model.py:88-101): q,k scaled by d^-0.25 each."""
     b, tq, d = q.shape
     tk = k.shape[1]
+    if (use_pallas and mask is None and tq == tk and tq >= 256
+            and jax.default_backend() == "tpu"):
+        # encoder self-attention: the blocked Pallas kernel keeps the
+        # [tq, tk] f32 score matrix in VMEM (same f32-softmax numerics).
+        # Callers running under tensor parallelism pass use_pallas=False —
+        # GSPMD cannot partition the opaque pallas_call, so head-sharded
+        # activations would be all-gathered around it.
+        from svc_inference_pipeline_tpu.ops.pallas.attention import encoder_attention
+
+        return encoder_attention(q, k, v, n_head)
     hd = d // n_head
     scale = hd**-0.25
     q = q.reshape(b, tq, n_head, hd).transpose(0, 2, 1, 3) * scale
@@ -109,6 +120,7 @@ def _attention(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
 class MultiHeadAttention(nn.Module):
     n_state: int
     n_head: int
+    use_pallas_attn: bool = True
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv: Optional[Tuple] = None,
@@ -131,7 +143,7 @@ class MultiHeadAttention(nn.Module):
             kb, vb = kv_buffer
             k = jax.lax.dynamic_update_slice_in_dim(kb, k.astype(kb.dtype), offset, 1)
             v = jax.lax.dynamic_update_slice_in_dim(vb, v.astype(vb.dtype), offset, 1)
-        out = _attention(q, k, v, self.n_head, mask)
+        out = _attention(q, k, v, self.n_head, mask, use_pallas=self.use_pallas_attn)
         return nn.Dense(self.n_state, name="out")(out), (k, v)
 
 
@@ -139,11 +151,15 @@ class ResidualAttentionBlock(nn.Module):
     n_state: int
     n_head: int
     cross_attention: bool = False
+    use_pallas_attn: bool = True
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, cross_kv=None, self_kv=None,
                  self_buffer=None, offset=0):
-        h, self_kv_out = MultiHeadAttention(self.n_state, self.n_head, name="attn")(
+        h, self_kv_out = MultiHeadAttention(
+            self.n_state, self.n_head, use_pallas_attn=self.use_pallas_attn,
+            name="attn",
+        )(
             _LayerNormF32(name="attn_ln")(x), mask=mask, kv=self_kv,
             kv_buffer=self_buffer, offset=offset,
         )
@@ -167,6 +183,7 @@ class WhisperAudioEncoder(nn.Module):
     dims: WhisperDims
     compute_dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
+    use_pallas_attn: bool = True
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -192,11 +209,15 @@ class WhisperAudioEncoder(nn.Module):
                 length=d.n_audio_layer,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            x, _ = ScanBlocks(d.n_audio_state, d.n_audio_head, name="blocks")(x, None)
+            x, _ = ScanBlocks(
+                d.n_audio_state, d.n_audio_head,
+                use_pallas_attn=self.use_pallas_attn, name="blocks",
+            )(x, None)
         else:
             for i in range(d.n_audio_layer):
                 x, _ = ResidualAttentionBlock(
-                    d.n_audio_state, d.n_audio_head, name=f"block_{i}"
+                    d.n_audio_state, d.n_audio_head,
+                    use_pallas_attn=self.use_pallas_attn, name=f"block_{i}",
                 )(x)
 
         x = _LayerNormF32(name="ln_post")(x)
@@ -206,10 +227,14 @@ class WhisperAudioEncoder(nn.Module):
 class _ScannedBlock(nn.Module):
     n_state: int
     n_head: int
+    use_pallas_attn: bool = True
 
     @nn.compact
     def __call__(self, x, _):
-        y, _ = ResidualAttentionBlock(self.n_state, self.n_head, name="block")(x)
+        y, _ = ResidualAttentionBlock(
+            self.n_state, self.n_head, use_pallas_attn=self.use_pallas_attn,
+            name="block",
+        )(x)
         return y, None
 
 

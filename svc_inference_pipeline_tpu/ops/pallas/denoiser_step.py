@@ -99,35 +99,36 @@ def stack_denoiser_params(params: Any, cfg, dtype=jnp.bfloat16) -> StackedDenois
     return StackedDenoiser(w1, b1, wout, bout, wmel, bmel, wskip, bskip, wo, bo)
 
 
-def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
+def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int, fused: bool = False):
     from jax.experimental import pallas as pl
 
     inv_sqrt2 = np.float32(1.0 / math.sqrt(2.0))
     inv_sqrt_l = np.float32(1.0 / math.sqrt(n_layers))
 
-    def kernel(
-        x_ref,      # [1, T, M_pad]  (this batch element)
-        step_ref,   # [1, 1, C]   (this layer's step row)
-        w1_ref,     # [1, 3C, 2C]
-        condb_ref,  # [1, 1, T, 2C]  (conditioner projection + conv bias)
-        wout_ref,   # [1, C, 2C]
-        bout_ref,   # [1, 1, 2C]
-        wmel_ref,   # [M_pad, C]
-        bmel_ref,   # [1, C]
-        wskip_ref,  # [C, C]
-        bskip_ref,  # [1, C]
-        wo_ref,     # [C, M_pad]
-        bo_ref,     # [1, M_pad]
-        out_ref,    # [1, T, M_pad]
-        h_ref,      # scratch [T, C]  compute dtype
-        y3_ref,     # scratch [T, 3C] compute dtype (concat-tap conv input)
-        skip_ref,   # scratch [T, C]  f32
-    ):
+    def kernel(*refs):
+        # x_ref  [1, T, M_pad] — this batch element (f32 carry when fused,
+        #                        compute dtype otherwise)
+        # step_ref [1, 1, C], w1_ref [1, 3C, 2C], condb_ref [1, 1, T, 2C]
+        # wout_ref [1, C, 2C], bout_ref [1, 1, 2C], wmel/bmel, wskip/bskip,
+        # wo/bo — the stacked weights; fused adds z_ref [1, T, M_pad] (f32
+        # step noise) and s_ref [1, 5] (SMEM schedule scalars for step t:
+        # sqrt(1/acum), sqrt(1/acum - 1), post_coef1, post_coef2, sigma).
+        if fused:
+            (x_ref, step_ref, w1_ref, condb_ref, wout_ref, bout_ref,
+             wmel_ref, bmel_ref, wskip_ref, bskip_ref, wo_ref, bo_ref,
+             z_ref, s_ref, out_ref, h_ref, y3_ref, skip_ref) = refs
+        else:
+            (x_ref, step_ref, w1_ref, condb_ref, wout_ref, bout_ref,
+             wmel_ref, bmel_ref, wskip_ref, bskip_ref, wo_ref, bo_ref,
+             out_ref, h_ref, y3_ref, skip_ref) = refs
         layer = pl.program_id(1)
 
         @pl.when(layer == 0)
         def _init():
-            h0 = jnp.dot(x_ref[0], wmel_ref[:], preferred_element_type=jnp.float32)
+            xin = x_ref[0]
+            if fused:  # carry arrives f32; same cast the wrapper used to do
+                xin = xin.astype(h_ref.dtype)
+            h0 = jnp.dot(xin, wmel_ref[:], preferred_element_type=jnp.float32)
             h0 = jnp.maximum(h0 + bmel_ref[0].astype(jnp.float32), 0.0)
             h_ref[:] = h0.astype(h_ref.dtype)
             skip_ref[:] = jnp.zeros((t_len, c), jnp.float32)
@@ -173,7 +174,17 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int):
             s1 = jnp.dot(sk.astype(h_ref.dtype), wskip_ref[:], preferred_element_type=jnp.float32)
             s1 = jnp.maximum(s1 + bskip_ref[0].astype(jnp.float32), 0.0)
             out = jnp.dot(s1.astype(h_ref.dtype), wo_ref[:], preferred_element_type=jnp.float32)
-            out_ref[0] = (out + bo_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+            out = out + bo_ref[0].astype(jnp.float32)
+            if fused:
+                # the whole ancestral DDPM update, still in VMEM — the
+                # sampler's x̂₀/posterior element-wise pass never round-trips
+                # HBM (diffsvcrepo_inference.py:36-88 numerics: clamp, then
+                # posterior mean + σ·z; σ is 0 at t=0, folded into s_ref[4])
+                xf = x_ref[0]
+                x0 = jnp.clip(s_ref[0, 0] * xf - s_ref[0, 1] * out, -1.0, 1.0)
+                out_ref[0] = s_ref[0, 2] * x0 + s_ref[0, 3] * xf + s_ref[0, 4] * z_ref[0]
+            else:
+                out_ref[0] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -262,6 +273,147 @@ def _denoise_pallas(
     return out[:, :, :n_mel].astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
+def _ddpm_step_pallas(
+    stacked: StackedDenoiser,
+    condb: jnp.ndarray,  # [B, L, T, 2C]
+    step_rows_t: jnp.ndarray,  # [L, C]
+    x: jnp.ndarray,  # [B, T, M_pad] f32 — padded sampler carry
+    z: jnp.ndarray,  # [B, T, M_pad] f32 — this step's noise (pad channels 0)
+    srow: jnp.ndarray,  # [5] f32 — schedule scalars for step t
+    cfg_key,
+    interpret: bool = False,
+):
+    """Denoiser forward + ancestral DDPM update x_t → x_{t−1}, one kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    n_layers, cycle, c, n_mel, t_len = cfg_key
+    m_pad = -(-n_mel // LANE) * LANE
+    dtype = stacked.w1.dtype
+    b = x.shape[0]
+
+    kernel = _make_kernel(t_len, c, n_layers, cycle, fused=True)
+    grid = (b, n_layers)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda bi, l: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda bi, l: (l, *(0 for _ in shape)), memory_space=pltpu.VMEM
+        )
+
+    def per_batch(shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            per_batch((t_len, m_pad)),  # x (f32 carry)
+            per_layer((1, c)),  # step rows [L,1,C]
+            per_layer((3 * c, 2 * c)),  # w1
+            pl.BlockSpec(
+                (1, 1, t_len, 2 * c), lambda bi, l: (bi, l, 0, 0), memory_space=pltpu.VMEM
+            ),
+            per_layer((c, 2 * c)),  # wout
+            per_layer((1, 2 * c)),  # bout
+            fixed((m_pad, c)),  # wmel
+            fixed((1, c)),  # bmel
+            fixed((c, c)),  # wskip
+            fixed((1, c)),  # bskip
+            fixed((c, m_pad)),  # wo
+            fixed((1, m_pad)),  # bo
+            per_batch((t_len, m_pad)),  # z
+            pl.BlockSpec((1, 5), lambda bi, l: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=per_batch((t_len, m_pad)),
+        scratch_shapes=[
+            pltpu.VMEM((t_len, c), dtype),
+            pltpu.VMEM((t_len, 3 * c), dtype),
+            pltpu.VMEM((t_len, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        step_rows_t.astype(dtype)[:, None, :],
+        stacked.w1,
+        condb,
+        stacked.wout,
+        stacked.bout,
+        stacked.wmel,
+        stacked.bmel,
+        stacked.wskip,
+        stacked.bskip,
+        stacked.wo,
+        stacked.bo,
+        z,
+        srow[None].astype(jnp.float32),
+    )
+
+
+def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
+                       interpret: bool = False, unroll: int = 8):
+    """Full ancestral DDPM reverse process with the sampler update fused
+    into the denoiser kernel's epilogue.
+
+    Key-split order, noise-draw shapes, and f32 update math are identical
+    to :func:`sampling.ddpm.ddpm_sample` (same PRNG keys → bit-identical
+    noise), so this path is interchangeable with the scan+kernel
+    composition it replaces — it just keeps the [B,T,M] carry padded to
+    the lane boundary and never materialises ε, x̂₀, or the posterior mean
+    to HBM. Per-step schedule scalars ride a precomputed [steps, 5] table
+    through the scan's xs.
+    """
+    from svc_inference_pipeline_tpu.sampling.ddpm import INIT_NOISE_STD
+
+    n_layers, cycle, c, n_mel, t_len = cfg_key
+    m_pad = -(-n_mel // LANE) * LANE
+    num_steps = schedule.num_steps
+    pad = [(0, 0), (0, 0), (0, m_pad - n_mel)]
+
+    key, init_key = jax.random.split(key)
+    x = INIT_NOISE_STD * jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+    x = jnp.pad(x, pad)
+    step_keys = jax.random.split(key, num_steps)
+
+    ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+    sigma = jnp.where(
+        ts > 0, jnp.exp(0.5 * schedule.posterior_log_variance_clipped[ts]), 0.0
+    )
+    rows = jnp.stack(
+        [
+            schedule.sqrt_recip_alphas_cumprod[ts],
+            schedule.sqrt_recipm1_alphas_cumprod[ts],
+            schedule.posterior_mean_coef1[ts],
+            schedule.posterior_mean_coef2[ts],
+            sigma,
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # [steps, 5]
+
+    def body(x, inp):
+        t, k, srow = inp
+        z = jax.random.normal(k, tuple(shape), dtype=jnp.float32)  # same draw
+        z = jnp.pad(z, pad)
+        x = _ddpm_step_pallas(
+            stacked, condb, step_rows[t], x, z, srow, cfg_key, interpret
+        )
+        return x, None
+
+    unroll_eff = max(u for u in range(1, unroll + 1) if num_steps % u == 0)
+    x, _ = jax.lax.scan(body, x, (ts, step_keys, rows), unroll=unroll_eff)
+    return x[:, :, :n_mel]
+
+
 def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
                            compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Sampler-compatible denoise_fn backed by the fused kernel.
@@ -286,4 +438,11 @@ def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
         step_rows_t = pre.step_rows[t[0, 0]]  # [L, C]
         return _denoise_pallas(stacked, condb, step_rows_t, x, cfg_key, interpret)
 
+    # DDPM gets a whole-sampler fast path: the ancestral update runs in the
+    # kernel epilogue (ε/x̂₀/posterior never touch HBM). Other samplers
+    # (PLMS/DDIM/DPM++ multistep histories) keep composing with ``fn``.
+    fn.fused_ddpm = functools.partial(
+        _ddpm_sample_fused, stacked, condb, pre.step_rows,
+        cfg_key=cfg_key, interpret=interpret,
+    )
     return fn

@@ -128,10 +128,24 @@ class WhisperPPGExtractor:
 
     def shard(self, mesh, rules) -> None:
         """Re-place the encoder params with tensor-parallel NamedShardings
-        (parallel/sharding.py rules); GSPMD propagates through the encode."""
+        (parallel/sharding.py rules); GSPMD propagates through the encode.
+
+        The Pallas attention kernel is turned off here: GSPMD cannot
+        partition the opaque pallas_call, so with head-sharded q/k/v it
+        would force all-gathers around every layer's attention. The XLA
+        formulation partitions cleanly on the head axis instead."""
         from svc_inference_pipeline_tpu.parallel.sharding import shard_params
 
         self.params = shard_params(self.params, mesh, rules)
+        self.encoder = WhisperAudioEncoder(
+            self.dims,
+            compute_dtype=self.encoder.compute_dtype,
+            scan_layers=self.scan_layers,
+            use_pallas_attn=False,
+        )
+        self._embed = jax.jit(
+            lambda p, mel: self.encoder.apply({"params": p}, mel)
+        )
 
     def embed_audio(self, mel: jnp.ndarray) -> jnp.ndarray:
         """[B, 80, 3000] → [B, 1500, D] (whisper_extractor/model.py:217)."""

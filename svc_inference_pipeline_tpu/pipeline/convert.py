@@ -385,6 +385,12 @@ class SVCPipeline:
             return dpmpp_sample(
                 denoise_fn, cond, key, shape, self.schedule, speedup=speedup
             )
+        # fused whole-step path: the Pallas denoiser runs the ancestral
+        # update in its epilogue (same keys/draws → same samples as
+        # ddpm_sample over the plain denoise_fn)
+        fused = getattr(denoise_fn, "fused_ddpm", None)
+        if fused is not None:
+            return fused(key, shape, self.schedule)
         return ddpm_sample(denoise_fn, cond, key, shape, self.schedule)
 
     def _sample_dp_pallas(self, denoiser_params, cond, key, n_frames, sampler, speedup):

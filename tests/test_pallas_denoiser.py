@@ -79,3 +79,42 @@ def test_pallas_denoiser_in_scan(setup):
                                 compute_dtype=jnp.float32, interpret=True)
     out = ddpm_sample(fn, cond, jax.random.PRNGKey(0), x.shape, sched)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_ddpm_sampler_matches_composed_scan(setup):
+    """fn.fused_ddpm (sampler update inside the kernel epilogue) draws the
+    same noise and computes the same f32 update as ddpm_sample composed
+    with the plain kernel — outputs must agree to f32 reassociation."""
+    from svc_inference_pipeline_tpu.sampling.ddpm import ddpm_sample
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, x, cond = setup
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 10])
+    fn = make_pallas_denoise_fn(params, cond, 10, mcfg,
+                                compute_dtype=jnp.float32, interpret=True)
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(ddpm_sample(fn, cond, key, x.shape, sched))
+    got = np.asarray(fn.fused_ddpm(key, x.shape, sched))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 1e-4, f"fused ddpm sampler err {err}"
+
+
+def test_fused_ddpm_sampler_batched(setup):
+    """B>1 (grid=(B, L)): per-clip noise independence is preserved."""
+    from svc_inference_pipeline_tpu.sampling.ddpm import ddpm_sample
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, _x, _cond = setup
+    b, t = 2, 64
+    rng = np.random.default_rng(11)
+    cond = jnp.asarray(rng.standard_normal((b, t, 384)), jnp.float32)
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 8])
+    fn = make_pallas_denoise_fn(params, cond, 8, mcfg,
+                                compute_dtype=jnp.float32, interpret=True)
+    key = jax.random.PRNGKey(4)
+    shape = (b, t, 100)
+    ref = np.asarray(ddpm_sample(fn, cond, key, shape, sched))
+    got = np.asarray(fn.fused_ddpm(key, shape, sched))
+    err = np.abs(got - ref).max()
+    assert err < 1e-4, f"batched fused ddpm err {err}"
