@@ -70,7 +70,8 @@ ACT_HALO = 8
 
 # perf-bisect hooks (perf_stage5.py): force a packing factor / stub out the
 # act or conv work to attribute kernel time. Never set in production.
-_DEBUG = {"force_g": None, "no_act": False, "no_conv": False}
+_DEBUG = {"force_g": None, "no_act": False, "no_conv": False,
+          "serial_stream": False}
 
 
 def _round_up(n: int, m: int) -> int:
@@ -200,20 +201,50 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
             dma.wait()
             base = tile_ref[:].astype(jnp.float32)  # [r_total, 128]
 
-            def get_taps(w_ref, idx, k):
-                """Conv ``idx``'s k weight matrices. Wide stages (the full
-                weight set would blow VMEM) keep weights in HBM and DMA
-                one conv at a time into the scratch buffer — a ~13 MB
-                fetch (~16 µs at HBM bandwidth) ahead of a conv that
-                computes for hundreds of µs."""
-                if not streamed:
+            # streamed regime: the stage's 18 conv fetches double-buffer —
+            # conv n+1's taps DMA from HBM while conv n (and the act
+            # sandwich between them) computes, so the only exposed wait is
+            # the first fetch of the tile. A serial fetch→wait per conv
+            # cost ~3 ms/stage at C=768 (198 waits across the time tiles).
+            if streamed and _DEBUG["serial_stream"]:  # A/B hook: old serial fetches
+                def get_taps(w_ref, idx, k):
+                    fetch = pltpu.make_async_copy(
+                        w_ref.at[pl.ds(idx * k, k)], wbuf.at[0, pl.ds(0, k)],
+                        wsem.at[0],
+                    )
+                    fetch.start()
+                    fetch.wait()
+                    return [wbuf[0, m] for m in range(k)]
+            elif streamed:
+                sched = []  # static (w_ref, first-tap index, k) sequence
+                for blk, (w_ref, _, _) in enumerate(blocks):
+                    for j in range(len(dils_per_block[blk])):
+                        sched.append((w_ref, 2 * j * ks[blk], ks[blk]))
+                        sched.append((w_ref, (2 * j + 1) * ks[blk], ks[blk]))
+                fetches = {}
+
+                def start_fetch(n):
+                    w_ref, first, k = sched[n]
+                    fetches[n] = pltpu.make_async_copy(
+                        w_ref.at[pl.ds(first, k)],
+                        wbuf.at[n % 2, pl.ds(0, k)],
+                        wsem.at[n % 2],
+                    )
+                    fetches[n].start()
+
+                start_fetch(0)
+                cursor = [0]
+
+                def get_taps(w_ref, idx, k):
+                    n = cursor[0]
+                    cursor[0] += 1
+                    fetches.pop(n).wait()
+                    if n + 1 < len(sched):
+                        start_fetch(n + 1)
+                    return [wbuf[n % 2, m] for m in range(k)]
+            else:
+                def get_taps(w_ref, idx, k):
                     return [w_ref[idx * k + m] for m in range(k)]
-                fetch = pltpu.make_async_copy(
-                    w_ref.at[pl.ds(idx * k, k)], wbuf.at[pl.ds(0, k)], wsem
-                )
-                fetch.start()
-                fetch.wait()
-                return [wbuf[m] for m in range(k)]
 
             acc = None
             for blk, (w_ref, b_ref, act_ref) in enumerate(blocks):
@@ -237,8 +268,8 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         ]
         if streamed:
             scopes += [
-                pltpu.VMEM((max(ks), w_lanes, w_lanes), w_dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, max(ks), w_lanes, w_lanes), w_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         pl.run_scoped(body, *scopes)
 
