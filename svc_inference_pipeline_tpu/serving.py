@@ -38,16 +38,36 @@ ALLOWED_SPEEDUPS = frozenset({1, 2, 5, 10, 20, 50, 100})
 
 
 class _Request:
-    __slots__ = ("audio", "singer", "sampler", "speedup", "event", "result", "error")
+    __slots__ = ("audio", "singer", "sampler", "speedup", "frames",
+                 "event", "result", "error")
 
-    def __init__(self, audio, singer, sampler=None, speedup=None):
+    def __init__(self, audio, singer, sampler=None, speedup=None, frames=0):
         self.audio = audio
         self.singer = singer
         self.sampler = sampler  # per-request override (None = server default)
         self.speedup = speedup
+        self.frames = frames  # mel frame count → coalescing length class
         self.event = threading.Event()
         self.result = None
         self.error = None
+
+
+#: shortest coalescing length class, in mel frames (~2.7 s @ hop 256/24 kHz)
+MIN_LENGTH_CLASS = 256
+
+
+def length_class(frames: int) -> int:
+    """Coalescing length class: next power of two ≥ the clip's frame count.
+
+    ``convert_batch`` pads every clip in a device batch to the longest
+    member's bucket (pipeline/convert.py), so coalescing a 30 s request
+    with 3 s requests would inflate the short ones' denoiser/vocoder FLOPs
+    ~10×. Grouping by power-of-two class bounds that inflation at 2×
+    while still letting similar-length requests share a batch."""
+    c = MIN_LENGTH_CLASS
+    while c < frames:
+        c *= 2
+    return c
 
 
 class SVCServer:
@@ -121,14 +141,18 @@ class SVCServer:
             req.event.set()
 
     def _run(self, batch) -> None:
-        # a coalesced batch can mix per-request sampler overrides: group by
-        # the RESOLVED (sampler, speedup) — explicit defaults coalesce with
-        # unspecified ones — and convert each group in one device batch
+        # a coalesced batch can mix per-request sampler overrides and clip
+        # lengths: group by the RESOLVED (sampler, speedup) — explicit
+        # defaults coalesce with unspecified ones — plus the power-of-two
+        # LENGTH class (one long request must not inflate a batch of short
+        # ones to its padded bucket), and convert each group in one device
+        # batch
         groups: dict = {}
         for r in batch:
-            key = self.pipeline._resolve_sampler(r.sampler, r.speedup)
+            sampler, speedup = self.pipeline._resolve_sampler(r.sampler, r.speedup)
+            key = (sampler, speedup, length_class(r.frames))
             groups.setdefault(key, []).append(r)
-        for (sampler, speedup), group in groups.items():
+        for (sampler, speedup, _), group in groups.items():
             self._run_group(group, sampler, speedup)
 
     def _run_group(self, batch, sampler, speedup) -> None:
@@ -192,7 +216,9 @@ class SVCServer:
 
         if self.closed:
             raise RuntimeError("server closed")
-        req = _Request(np.asarray(audio), singer, sampler=sampler, speedup=speedup)
+        audio = np.asarray(audio)
+        req = _Request(audio, singer, sampler=sampler, speedup=speedup,
+                       frames=self.pipeline.mel_frame_count(len(audio)))
         self.queue.put(req)
         # close() may have landed between the check and the put — the worker
         # could already have drained and exited, stranding req until the

@@ -141,6 +141,77 @@ def write_wav(path: str, waveform: np.ndarray, fs: int) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Optional-dependency decode (mp3 / ogg / anything outside WAV+FLAC)
+# ---------------------------------------------------------------------------
+
+
+class UnsupportedAudioFormatError(RuntimeError):
+    """No available decoder for this audio format.
+
+    WAV and FLAC decode natively with zero dependencies; other formats
+    (mp3, ogg, …) need an OPTIONAL external decoder — the ``soundfile``
+    package or an ``ffmpeg`` binary — mirroring the reference's
+    librosa/audioread route (/root/reference/utils/audio.py:21-24)."""
+
+
+def _decode_external(path: str) -> Tuple[np.ndarray, int]:
+    """Decode via soundfile or ffmpeg, whichever is available.
+
+    Returns raw ``(samples [n, ch] float32, rate)`` — the caller applies
+    the reference magnitude/normalisation rules, identically to the
+    native-decoded paths. Raises :class:`UnsupportedAudioFormatError`
+    with every attempted decoder's failure when none works."""
+    errors = []
+    try:
+        import soundfile as sf  # optional dep — not in the base image
+    except Exception as e:  # noqa: BLE001 — any import failure disables it
+        sf = None
+        errors.append(f"soundfile unavailable ({type(e).__name__}: {e})")
+    if sf is not None:
+        try:
+            data, rate = sf.read(path, always_2d=True, dtype="float32")
+            return np.asarray(data, dtype=np.float32), int(rate)
+        except Exception as e:  # noqa: BLE001 — fall through to ffmpeg
+            errors.append(f"soundfile failed ({type(e).__name__}: {e})")
+
+    import shutil
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        errors.append("ffmpeg not on PATH")
+    else:
+        import os
+        import subprocess
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
+        try:
+            # to a temp WAV (not stdout: a piped RIFF header carries no
+            # sizes) at f32 so no quantisation is added; channel layout is
+            # preserved — load_audio keeps channel 0, like the reference
+            proc = subprocess.run(
+                [ffmpeg, "-nostdin", "-v", "error", "-y", "-i", path,
+                 "-c:a", "pcm_f32le", tmp],
+                capture_output=True,
+                timeout=600,
+            )
+            if proc.returncode == 0:
+                return read_wav(tmp)
+            errors.append(
+                "ffmpeg failed ("
+                + proc.stderr.decode(errors="replace").strip() + ")"
+            )
+        finally:
+            os.unlink(tmp)
+    raise UnsupportedAudioFormatError(
+        f"{path}: not WAV/FLAC and no external decoder succeeded — "
+        + "; ".join(errors)
+        + ". Install the 'soundfile' package or put an ffmpeg binary on PATH."
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reference-semantics loader / saver
 # ---------------------------------------------------------------------------
 
@@ -167,12 +238,16 @@ def load_audio(
         from svc_inference_pipeline_tpu.native import wav_codec as _native
 
         samples, sample_rate = _native.read_flac(path)
-    else:
+    elif magic == b"RIFF":
         try:
             from svc_inference_pipeline_tpu.native import wav_codec as _native
             samples, sample_rate = _native.read_wav(path)
         except Exception:
             samples, sample_rate = read_wav(path)
+    else:
+        # mp3/ogg/… — optional soundfile/ffmpeg decode; the magnitude
+        # rules below apply to its output exactly as to the native paths
+        samples, sample_rate = _decode_external(path)
 
     audio = samples[:, 0] if samples.ndim > 1 else samples  # channel 0 only
     if audio.ndim > 0 and samples.ndim > 1 and samples.shape[1] > 1:

@@ -76,3 +76,88 @@ def test_resample_identity():
     x = np.ones(100, dtype=np.float32)
     y = resample(x, 24000, 24000)
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+def test_unknown_format_raises_typed_error(tmp_path, monkeypatch):
+    """No soundfile, no ffmpeg → UnsupportedAudioFormatError with remedies
+    (the reference decodes mp3/ogg via librosa/audioread,
+    /root/reference/utils/audio.py:21-24 — here those are optional)."""
+    import shutil
+    import sys
+
+    import pytest
+
+    from svc_inference_pipeline_tpu.utils.audio_io import UnsupportedAudioFormatError
+
+    p = tmp_path / "clip.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3-ish garbage
+    monkeypatch.setitem(sys.modules, "soundfile", None)  # import → ImportError
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    with pytest.raises(UnsupportedAudioFormatError, match="soundfile|ffmpeg"):
+        load_audio(str(p), 24000)
+
+
+def test_external_decoder_reference_magnitude_rules(tmp_path, monkeypatch):
+    """A pluggable decoder's output goes through the SAME magnitude rules
+    as the native paths: float data with |x| > 2^15 is treated as
+    32-bit-scaled (utils/audio.py:34-40), stereo keeps channel 0."""
+    import sys
+    import types
+
+    p = tmp_path / "clip.ogg"
+    p.write_bytes(b"OggS" + b"\x00" * 64)
+
+    rate = 24000
+    n = rate // 2
+    t = np.arange(n) / rate
+    ch0 = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32) * 2**18
+    ch1 = np.zeros(n, np.float32)
+
+    fake = types.ModuleType("soundfile")
+
+    def fake_read(path, always_2d=True, dtype="float32"):
+        assert path == str(p)
+        return np.stack([ch0, ch1], axis=1), rate
+
+    fake.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake)
+
+    audio, fs = load_audio(str(p), rate)
+    assert fs == rate and audio.dtype == np.float32
+    # magnitude 2^16 (0.25·2^18) > 2^15 → normalised by 2^31 + 1
+    np.testing.assert_allclose(audio, ch0 / (2**31 + 1), rtol=1e-6)
+
+
+def test_external_decoder_ffmpeg_fallback(tmp_path, monkeypatch):
+    """soundfile absent → the ffmpeg subprocess route decodes (stubbed
+    ffmpeg binary: copies a pre-made WAV to the requested output)."""
+    import os
+    import shutil
+    import stat
+    import sys
+
+    src = tmp_path / "clip.mp3"
+    src.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+
+    rate = 24000
+    tone = (0.5 * np.sin(2 * np.pi * 330 * np.arange(rate // 4) / rate)).astype(np.float32)
+    wav_path = tmp_path / "decoded.wav"
+    write_wav(str(wav_path), tone, rate)
+
+    fake_ffmpeg = tmp_path / "ffmpeg"
+    fake_ffmpeg.write_text(
+        "#!/bin/sh\n"
+        # last argument is the output path
+        'for out do :; done\n'
+        f'cp "{wav_path}" "$out"\n'
+    )
+    fake_ffmpeg.chmod(fake_ffmpeg.stat().st_mode | stat.S_IEXEC)
+
+    monkeypatch.setitem(sys.modules, "soundfile", None)
+    monkeypatch.setattr(shutil, "which",
+                        lambda name: str(fake_ffmpeg) if name == "ffmpeg" else None)
+
+    audio, fs = load_audio(str(src), rate)
+    assert fs == rate
+    # 16-bit WAV round trip of the tone
+    np.testing.assert_allclose(audio, np.round(tone * 32767) / 32768, atol=2e-4)
