@@ -204,6 +204,48 @@ def pipeline_denoise(
     return out[-1]  # the last stage holds the real outputs
 
 
+def make_pp_denoise_fn(params, cond, num_steps: int, cfg, mesh,
+                       axis: str = PIPE_AXIS, n_micro: int = None):
+    """Sampler-compatible denoise_fn whose every ε-prediction runs through
+    the S-stage GPipe pipeline — the PP analogue of
+    ``models.diffsvc_fast.make_fast_denoise_fn`` (same contract: the
+    returned fn takes ``(x, cond_unused, t [B,1])`` with one shared step
+    per batch and closes over hoisted conditioning).
+
+    Used by ``SVCPipeline`` when ``cfg.parallel.pipeline_stages > 1``: the
+    whole sampling scan then drives the pipeline, one full S-stage sweep
+    per reverse step.
+    """
+    from svc_inference_pipeline_tpu.models.diffsvc_fast import precompute
+
+    S = dict(mesh.shape)[axis]
+    L = cfg.residual_layer_num
+    b = cond.shape[0]
+    n_micro = n_micro or b
+    assert b % n_micro == 0, (b, n_micro)
+    bm = b // n_micro
+
+    # hoisted once (f32 — the pipeline stages compute in f32)
+    pre = precompute(params, cond, num_steps, cfg, jnp.float32)
+    cond_projs = pre.cond_projs.reshape(L, n_micro, bm, cond.shape[1], -1)
+    # shard_map partitions the stacked [S, …] params over `axis` per its
+    # in_specs — no explicit device_put (this traces inside the core jit)
+    stacked, shared = stack_layer_params(params, L, S)
+
+    def fn(x, _cond_unused, t):
+        # one shared reverse step for the whole batch (every sampler here
+        # and the reference, diffsvcrepo_inference.py:228,235)
+        t_idx = jnp.broadcast_to(jnp.asarray(t).reshape(-1)[0], (n_micro,))
+        step_rows = pre.step_rows[t_idx].transpose(1, 0, 2)  # [L, n_micro, C]
+        x_mb = x.astype(jnp.float32).reshape(n_micro, bm, x.shape[1], x.shape[2])
+        out = pipeline_denoise(
+            stacked, shared, cond_projs, step_rows, x_mb, mesh, cfg, axis=axis
+        )
+        return out.reshape(b, x.shape[1], x.shape[2])
+
+    return fn
+
+
 def pp_denoise_fn(params, cond, t_steps, x, mesh, cfg, num_steps: int,
                   n_micro: int = None):
     """Convenience: full-batch ε via PP.

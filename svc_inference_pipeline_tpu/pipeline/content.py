@@ -147,6 +147,30 @@ class WhisperPPGExtractor:
             lambda p, mel: self.encoder.apply({"params": p}, mel)
         )
 
+    def ensure_unstacked(self) -> None:
+        """Revert scanned param layout to per-block ``block_i`` dicts.
+
+        The sequence-parallel encoder (parallel/sp_whisper.py) runs a
+        python loop over blocks inside ``shard_map`` and therefore needs
+        the converter layout; deep encoders stack it for scan-over-layers
+        at construction. No-op when already unstacked."""
+        if "blocks" not in self.params:
+            return
+        stacked = self.params["blocks"]["block"]
+        params = {k: v for k, v in self.params.items() if k != "blocks"}
+        for i in range(self.dims.n_audio_layer):
+            params[f"block_{i}"] = jax.tree_util.tree_map(
+                lambda x, i=i: x[i], stacked
+            )
+        self.params = jax.device_put(params)
+        self.scan_layers = False
+        self.encoder = WhisperAudioEncoder(
+            self.dims, compute_dtype=self.encoder.compute_dtype, scan_layers=False
+        )
+        self._embed = jax.jit(
+            lambda p, mel: self.encoder.apply({"params": p}, mel)
+        )
+
     def embed_audio(self, mel: jnp.ndarray) -> jnp.ndarray:
         """[B, 80, 3000] → [B, 1500, D] (whisper_extractor/model.py:217)."""
         return self._embed(self.params, mel)

@@ -72,8 +72,51 @@ class SVCPipeline:
     ):
         self.cfg = cfg
         self.bucket = bucket
-        self.mesh = mesh
         model_axis = cfg.parallel.get("model_axis", "model") if "parallel" in cfg else "model"
+        par = cfg.parallel if "parallel" in cfg else None
+        # pipeline parallelism: cfg.parallel.pipeline_stages > 1 splits the
+        # denoiser's residual stack into S GPipe stages over a `pipe` mesh
+        # axis (parallel/pp.py); every reverse step sweeps the stages
+        self._pp_stages = int(par.get("pipeline_stages", 1)) if par is not None else 1
+        self._pp_axis = par.get("pipe_axis", "pipe") if par is not None else "pipe"
+        self._pp_microbatch = int(par.get("pp_microbatch", 0)) if par is not None else 0
+        # sequence parallelism: cfg.parallel.sequence_parallel shards the
+        # whisper encoder over TIME on the model axis (parallel/sp_whisper.py)
+        self._sp = bool(par.get("sequence_parallel", False)) if par is not None else False
+        if self._pp_stages > 1:
+            if cfg.mapper.residual_layer_num % self._pp_stages:
+                raise ValueError(
+                    f"pipeline_stages={self._pp_stages} must divide "
+                    f"residual_layer_num={cfg.mapper.residual_layer_num}"
+                )
+            if mesh is None:
+                from jax.sharding import Mesh
+
+                mesh = Mesh(
+                    np.asarray(jax.devices()[: self._pp_stages]),
+                    axis_names=(self._pp_axis,),
+                )
+            elif (
+                self._pp_axis not in mesh.axis_names
+                or dict(mesh.shape)[self._pp_axis] != self._pp_stages
+            ):
+                raise ValueError(
+                    f"pipeline_stages={self._pp_stages} needs a "
+                    f"'{self._pp_axis}' mesh axis of that size; got {mesh}"
+                )
+        if self._sp:
+            sp_size = dict(mesh.shape).get(model_axis, 1) if mesh is not None else 1
+            if sp_size < 2:
+                raise ValueError(
+                    f"sequence_parallel needs a mesh with a >1 '{model_axis}' axis"
+                )
+            if whisper.dims.n_audio_ctx % sp_size:
+                raise ValueError(
+                    f"whisper n_audio_ctx={whisper.dims.n_audio_ctx} must "
+                    f"divide by the {sp_size}-way sequence shard"
+                )
+            whisper.ensure_unstacked()  # SP needs the per-block param layout
+        self.mesh = mesh
         # tensor parallelism: with a model axis > 1 every model's params are
         # sharded with the TP rules (parallel/sharding.py) and GSPMD inserts
         # the ICI collectives through the whole inference computation
@@ -144,7 +187,10 @@ class SVCPipeline:
                 )
             else:
                 self.vocoder_params = shard_params(vocoder_params, mesh, VOCODER_TP_RULES)
-            whisper.shard(mesh, WHISPER_TP_RULES)
+            if not self._sp:
+                # SP replicates whisper params (time-sharded activations
+                # instead of channel/head-sharded weights)
+                whisper.shard(mesh, WHISPER_TP_RULES)
         else:
             # pin params on device once — passing host (numpy) pytrees into
             # jit re-uploads every weight on every call (≈1.2 GB/conversion
@@ -311,6 +357,21 @@ class SVCPipeline:
             mel_norm = self._sample_dp_pallas(
                 denoiser_params, cond, key, n_frames, sampler, speedup
             )
+        elif self._pp_stages > 1:
+            from svc_inference_pipeline_tpu.parallel.pp import make_pp_denoise_fn
+
+            # GPipe: every reverse step's ε-prediction sweeps the S stages
+            # (microbatches flow via ppermute; parallel/pp.py)
+            denoise_fn = make_pp_denoise_fn(
+                denoiser_params,
+                cond,
+                self.schedule.num_steps,
+                self.cfg.mapper,
+                self.mesh,
+                axis=self._pp_axis,
+                n_micro=self._pp_microbatch or None,
+            )
+            mel_norm = self._run_sampler(denoise_fn, cond, key, shape, sampler, speedup)
         else:
             if self._use_pallas_denoiser:
                 from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
@@ -468,6 +529,25 @@ class SVCPipeline:
         if speedup is not None:
             self.plms_speedup = int(speedup)
 
+    def _whisper_encode(self, whisper_params, wmel):
+        """Encoder dispatch: plain apply, or time-sharded sequence-parallel
+        attention (all-gathered KV over the model axis) when
+        ``cfg.parallel.sequence_parallel`` is set."""
+        if self._sp:
+            from svc_inference_pipeline_tpu.parallel.sp_whisper import (
+                encode_sequence_parallel,
+            )
+
+            return encode_sequence_parallel(
+                whisper_params,
+                self.whisper.dims,
+                wmel,
+                self.mesh,
+                seq_axis=self._model_axis,
+                compute_dtype=self.whisper.encoder.compute_dtype or jnp.float32,
+            )
+        return self.whisper.encoder.apply({"params": whisper_params}, wmel)
+
     def mel_frame_count(self, n_samples: int) -> int:
         """Frame count of the mel front-end, analytically (no device sync)."""
         cfg = self.cfg
@@ -502,7 +582,7 @@ class SVCPipeline:
         windows = audio16.reshape(n_windows, N_SAMPLES)
 
         wmel = log_mel_spectrogram(windows)  # [W, 80, 3000]
-        feats = self.whisper.encoder.apply({"params": whisper_params}, wmel)
+        feats = self._whisper_encode(whisper_params, wmel)
         feats = feats.reshape(-1, feats.shape[-1])  # [W*1500, D]
         content = remap_features_device(feats.astype(jnp.float32), n_frames)
 
@@ -537,7 +617,7 @@ class SVCPipeline:
         windows = audio16.reshape(b * n_windows, N_SAMPLES)
 
         wmel = log_mel_spectrogram(windows)  # [B·W, 80, 3000]
-        feats = self.whisper.encoder.apply({"params": whisper_params}, wmel)
+        feats = self._whisper_encode(whisper_params, wmel)
         feats = feats.reshape(b, -1, feats.shape[-1])  # [B, W·1500, D]
         content = jax.vmap(
             lambda f: remap_features_device(f.astype(jnp.float32), padded)
@@ -807,12 +887,11 @@ class SVCPipeline:
         padded = merged["melody"].shape[1]
 
         arrays = {k: jnp.asarray(v) for k, v in merged.items()}
-        if self.mesh is not None:
+        if self.mesh is not None and self._data_axis in self.mesh.axis_names:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data_axis = self.cfg.parallel.data_axis if "parallel" in self.cfg else "data"
             arrays = {
-                k: jax.device_put(v, NamedSharding(self.mesh, P(data_axis, *([None] * (v.ndim - 1)))))
+                k: jax.device_put(v, NamedSharding(self.mesh, P(self._data_axis, *([None] * (v.ndim - 1)))))
                 for k, v in arrays.items()
             }
 
