@@ -262,6 +262,18 @@ class SVCPipeline:
         key = jax.random.PRNGKey(seed)
 
         whisper_ref = cfg.whisper_model
+        if not random_weights and not os.path.exists(str(whisper_ref)):
+            from svc_inference_pipeline_tpu.checkpoints.fetch import (
+                WHISPER_URLS,
+                fetch_whisper_checkpoint,
+            )
+
+            if str(whisper_ref) in WHISPER_URLS:
+                # registry name ("medium", …): resolve through the cached-
+                # download registry (reference __init__.py:33-64). Raises
+                # with the opt-in instructions when downloads are disabled
+                # — silently converting with random weights would be worse.
+                whisper_ref = fetch_whisper_checkpoint(whisper_ref)
         if not random_weights and os.path.exists(str(whisper_ref)):
             whisper = WhisperPPGExtractor.from_torch_checkpoint(whisper_ref, fs=cfg.fs)
         else:
