@@ -131,38 +131,61 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         tpu.concatenate rejects lane-offset operands, so no lane concat)."""
         if s == 0:
             return a
-        r1, p = divmod(s, g)
-        # zero-pad rows first: both concat operands are offset-free
+        return make_shifter(a, s)(s)
+
+    def make_shifter(a, max_s: int):
+        """Batch-shift factory: ONE zero-row concat (and, packed, one lane
+        roll per distinct phase) shared by every ``shift(s)``, s ≤ max_s.
+
+        The FIR taps and conv taps each need 6–12 shifts of the SAME
+        array; the old per-shift tshift re-materialised the zero-padded
+        concat (and a fresh roll) for every tap, which the stage bisect
+        measured as the dominant act cost (BENCH_NOTES round 4)."""
+        r1max = max_s // g
         ap = jnp.concatenate(
-            [a, jnp.zeros((r1 + 1, w_lanes), a.dtype)], axis=0
+            [a, jnp.zeros((r1max + 1, w_lanes), a.dtype)], axis=0
         )
-        if p == 0:
-            return ap[r1 : r1 + r_total]
-        rolled = pltpu.roll(ap, w_lanes - p * cw, 1)  # lane l ← lane l + p·cw (mod 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (r_total, w_lanes), 1)
-        return jnp.where(
-            lane < w_lanes - p * cw,
-            rolled[r1 : r1 + r_total],
-            rolled[r1 + 1 : r1 + 1 + r_total],
-        )
+        rolled = {}  # phase p → lane-rotated padded buffer (trace-time memo)
+
+        def shift(s: int):
+            if s == 0:
+                return a
+            r1, p = divmod(s, g)
+            if p == 0:
+                return ap[r1 : r1 + r_total]
+            if p not in rolled:
+                # lane l ← lane l + p·cw (mod 128)
+                rolled[p] = pltpu.roll(ap, w_lanes - p * cw, 1)
+            rp = rolled[p]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (r_total, w_lanes), 1)
+            return jnp.where(
+                lane < w_lanes - p * cw,
+                rp[r1 : r1 + r_total],
+                rp[r1 + 1 : r1 + 1 + r_total],
+            )
+
+        return shift
 
     def act1d(a, alpha, inv_beta):
         """Fused up2→snake→down2, f32; output time 0 ↔ input time 8."""
         if _DEBUG["no_act"]:
             return tshift(a, 16)
-        even = tshift(a, 2) * even_up[0]
-        odd = tshift(a, 3) * odd_up[0]
+        sh_a = make_shifter(a, 8)
+        even = sh_a(2) * even_up[0]
+        odd = sh_a(3) * odd_up[0]
         for m in range(1, 6):
-            even = even + tshift(a, m + 2) * even_up[m]
-            odd = odd + tshift(a, m + 3) * odd_up[m]
+            even = even + sh_a(m + 2) * even_up[m]
+            odd = odd + sh_a(m + 3) * odd_up[m]
         even = 2.0 * even
         odd = 2.0 * odd
         even = even + inv_beta * sin2(even * alpha)
         odd = odd + inv_beta * sin2(odd * alpha)
-        out = odd * down_odd[0] + tshift(even, 1) * down_even[0]
+        sh_even = make_shifter(even, 6)
+        sh_odd = make_shifter(odd, 5)
+        out = odd * down_odd[0] + sh_even(1) * down_even[0]
         for m in range(1, 6):
-            out = out + tshift(odd, m) * down_odd[m]
-            out = out + tshift(even, m + 1) * down_even[m]
+            out = out + sh_odd(m) * down_odd[m]
+            out = out + sh_even(m + 1) * down_even[m]
         return out
 
     def conv(a, taps, b_ref, idx, k, dil):
@@ -171,14 +194,15 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         reads of the streamed scratch buffer)."""
         if _DEBUG["no_conv"]:
             return tshift(a, dil * (k - 1)) + b_ref[idx]
-        # tshift rotates lanes — Mosaic only rotates 32-bit data, so shift
-        # in f32 and cast each tap operand to the weight dtype after
+        # shifts happen in f32 (Mosaic only rotates 32-bit data); each tap
+        # operand casts to the weight dtype after its shift
+        sh_a = make_shifter(a, (k - 1) * dil)
         acc = jnp.dot(
             a.astype(taps[0].dtype), taps[0], preferred_element_type=jnp.float32
         )
         for m in range(1, k):
             acc = acc + jnp.dot(
-                tshift(a, m * dil).astype(taps[m].dtype),
+                sh_a(m * dil).astype(taps[m].dtype),
                 taps[m],
                 preferred_element_type=jnp.float32,
             )
@@ -216,11 +240,14 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
                     fetch.wait()
                     return [wbuf[0, m] for m in range(k)]
             elif streamed:
-                sched = []  # static (w_ref, first-tap index, k) sequence
-                for blk, (w_ref, _, _) in enumerate(blocks):
-                    for j in range(len(dils_per_block[blk])):
-                        sched.append((w_ref, 2 * j * ks[blk], ks[blk]))
-                        sched.append((w_ref, (2 * j + 1) * ks[blk], ks[blk]))
+                # static (w_ref, first-tap index, k) sequence — must match
+                # the INTERLEAVED conv issue order below (pair-major across
+                # blocks), since get_taps consumes it by call order
+                sched = []
+                for j in range(len(dils_per_block[0])):
+                    for half in (0, 1):
+                        for blk, (w_ref, _, _) in enumerate(blocks):
+                            sched.append((w_ref, (2 * j + half) * ks[blk], ks[blk]))
                 fetches = {}
 
                 def start_fetch(n):
@@ -246,19 +273,47 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
                 def get_taps(w_ref, idx, k):
                     return [w_ref[idx * k + m] for m in range(k)]
 
+            # the three AMP blocks are INDEPENDENT until the final mean —
+            # interleave their op chains pair-major so the scheduler can
+            # run one block's VPU act sandwiches under another block's MXU
+            # conv matmuls (block-major issue serialises VPU-then-MXU
+            # within each pair: both units take turns idling)
+            a_blk = [base] * n_blocks
+            n_pairs = len(dils_per_block[0])
+            assert all(len(dp) == n_pairs for dp in dils_per_block)
+            for j in range(n_pairs):
+                t1 = [
+                    act1d(a_blk[blk], blocks[blk][2][4 * j], blocks[blk][2][4 * j + 1])
+                    for blk in range(n_blocks)
+                ]
+                t2 = [
+                    conv(
+                        t1[blk],
+                        get_taps(blocks[blk][0], 2 * j, ks[blk]),
+                        blocks[blk][1], 2 * j, ks[blk], dils_per_block[blk][j],
+                    )
+                    for blk in range(n_blocks)
+                ]
+                t3 = [
+                    act1d(t2[blk], blocks[blk][2][4 * j + 2], blocks[blk][2][4 * j + 3])
+                    for blk in range(n_blocks)
+                ]
+                t4 = [
+                    conv(
+                        t3[blk],
+                        get_taps(blocks[blk][0], 2 * j + 1, ks[blk]),
+                        blocks[blk][1], 2 * j + 1, ks[blk], 1,
+                    )
+                    for blk in range(n_blocks)
+                ]
+                a_blk = [
+                    tshift(a_blk[blk], _pair_halo(ks[blk], dils_per_block[blk][j])) + t4[blk]
+                    for blk in range(n_blocks)
+                ]
             acc = None
-            for blk, (w_ref, b_ref, act_ref) in enumerate(blocks):
-                k = ks[blk]
-                a = base
-                for j, d in enumerate(dils_per_block[blk]):
-                    h = _pair_halo(k, d)
-                    t1 = act1d(a, act_ref[4 * j], act_ref[4 * j + 1])
-                    t2 = conv(t1, get_taps(w_ref, 2 * j, k), b_ref, 2 * j, k, d)
-                    t3 = act1d(t2, act_ref[4 * j + 2], act_ref[4 * j + 3])
-                    t4 = conv(t3, get_taps(w_ref, 2 * j + 1, k), b_ref, 2 * j + 1, k, 1)
-                    a = tshift(a, h) + t4
-                surplus = halo - _block_halo(k, dils_per_block[blk])
-                out_b = tshift(a, surplus)[: t_tile // g]
+            for blk in range(n_blocks):
+                surplus = halo - _block_halo(ks[blk], dils_per_block[blk])
+                out_b = tshift(a_blk[blk], surplus)[: t_tile // g]
                 acc = out_b if acc is None else acc + out_b
             out_ref[0] = (acc * (1.0 / n_blocks)).astype(out_ref.dtype)
 
