@@ -27,6 +27,8 @@ def main():
     p.add_argument("--edges", action="store_true", help="also time exact_edges=True")
     p.add_argument("--stages", default="0,1,2,3,4,5")
     p.add_argument("--bisect", action="store_true", help="no_act / no_conv runs")
+    p.add_argument("--t-tile", type=int, default=0,
+                   help="override fused_amp_stage's base t_tile (0 = default)")
     args = p.parse_args()
     stages = [int(s) for s in args.stages.split(",")]
 
@@ -61,9 +63,11 @@ def main():
             tuple(mk_pair(c, KS[blk]) for _ in DILS[blk]) for blk in range(3)
         )
 
+        kw = {"t_tile": args.t_tile} if args.t_tile else {}
+
         def run(edges=False):
             fn = lambda: fused_amp_stage(
-                x, block_params, KS, DILS, exact_edges=edges
+                x, block_params, KS, DILS, exact_edges=edges, **kw
             ).block_until_ready()
             fn()
             return _profiled_device_ms(fn)
