@@ -71,7 +71,47 @@ ACT_HALO = 8
 # perf-bisect hooks (perf_stage5.py): force a packing factor / stub out the
 # act or conv work to attribute kernel time. Never set in production.
 _DEBUG = {"force_g": None, "no_act": False, "no_conv": False,
-          "serial_stream": False}
+          "serial_stream": False, "no_mxu_fir": False}
+
+
+def _fir_mxu_mats(g: int, cw: int, w_lanes: int, taps):
+    """Banded lane-mixing matrices that evaluate the polyphase FIRs on the
+    MXU for packed layouts (g > 1).
+
+    In the packed frame (row q, lane p·cw+c ↔ time q·g+p, channel c) a
+    time-FIR is a row-shift plus a lane-to-lane linear map — i.e. a sum of
+    ``shift_rows(a, r) @ B_r`` matmuls with channel-diagonal banded B_r.
+    The up matrices produce [even | odd] (2·w_lanes dst lanes, with the 2×
+    polyphase gain folded in); the down matrices consume [even' | odd'].
+    Index math mirrors ``act1d``'s shift arithmetic exactly:
+
+        even[t] = Σ_m a[t+m+2]·eu[m],  odd[t] = Σ_m a[t+m+3]·ou[m]
+        out[t]  = Σ_m odd'[t+m]·do[m] + Σ_m even'[t+m+1]·de[m]
+    """
+    eu, ou, de, do = taps
+    eu = [2.0 * t for t in eu]
+    ou = [2.0 * t for t in ou]
+    r_up = ((g - 1) + 8) // g + 1
+    r_dn = ((g - 1) + 6) // g + 1
+    up = np.zeros((r_up, w_lanes, 2 * w_lanes), np.float32)
+    dn = np.zeros((r_dn, 2 * w_lanes, w_lanes), np.float32)
+    eye = np.eye(cw, dtype=np.float32)
+
+    def blk(mat, r, ps, pd, dst_off, val):
+        mat[r, ps * cw : (ps + 1) * cw, dst_off + pd * cw : dst_off + (pd + 1) * cw] += eye * val
+
+    for pd in range(g):
+        for m in range(6):
+            r, ps = divmod(pd + m + 2, g)
+            blk(up, r, ps, pd, 0, eu[m])  # even ← a[t+m+2]
+            r, ps = divmod(pd + m + 3, g)
+            blk(up, r, ps, pd, w_lanes, ou[m])  # odd ← a[t+m+3]
+            r, ps = divmod(pd + m, g)
+            dn[r, w_lanes + ps * cw : w_lanes + (ps + 1) * cw,
+               pd * cw : (pd + 1) * cw] += eye * do[m]  # out ← odd'[t+m]
+            r, ps = divmod(pd + m + 1, g)
+            blk(dn, r, ps, pd, 0, de[m])  # out ← even'[t+m+1]
+    return up, dn
 
 
 def _round_up(n: int, m: int) -> int:
@@ -82,30 +122,36 @@ def _block_halo(k: int, dils: Sequence[int]) -> int:
     return sum(_pair_halo(k, d) for d in dils)
 
 
-_SIN2_COEFFS = None
+_SIN2_COEFFS: dict = {}
 
 
-def _sin2_coeffs():
-    """cos(2πy) ≈ Σ c_k (y²)^k on y ∈ [−½, ½] (degree 6 in y², ~1e-8 max
-    err). Compile-time constants for the in-kernel sin² polynomial."""
-    global _SIN2_COEFFS
-    if _SIN2_COEFFS is None:
+def _sin2_coeffs(degree: int = 6):
+    """cos(2πy) ≈ Σ c_k (y²)^k on y ∈ [−½, ½]. Compile-time constants for
+    the in-kernel sin² polynomial. Degree 6 ≈ 1e-8 max err (f32 paths);
+    degree 4 ≈ 1.1e-4 — far under the 2⁻⁸ ulp of a bf16 signal, 2 fewer
+    FMAs on the kernel's VPU floor (bf16 paths)."""
+    if degree not in _SIN2_COEFFS:
         y = np.linspace(-0.5, 0.5, 4001)
-        c = np.polyfit(y * y, np.cos(2 * np.pi * y), 6)
-        _SIN2_COEFFS = [float(v) for v in c]  # highest power first
-    return _SIN2_COEFFS
+        c = np.polyfit(y * y, np.cos(2 * np.pi * y), degree)
+        _SIN2_COEFFS[degree] = [float(v) for v in c]  # highest power first
+    return _SIN2_COEFFS[degree]
 
 
 def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
-                 w_lanes: int = LANE, streamed: bool = False, w_dtype=None):
+                 w_lanes: int = LANE, streamed: bool = False, w_dtype=None,
+                 lowprec: bool = False, mxu_fir: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     even_up, odd_up, down_even, down_odd = taps
+    # the 2× polyphase gain is folded into the up taps (exact: scaling a
+    # tap by 2.0 keeps each product's rounding bit-identical)
+    even_up = [2.0 * t for t in even_up]
+    odd_up = [2.0 * t for t in odd_up]
     n_blocks = len(ks)
     cw = w_lanes // g  # channels per phase group
     r_total = (t_tile + 2 * halo) // g  # fixed row count of every tensor
-    sin2_c = _sin2_coeffs()
+    sin2_c = _sin2_coeffs(4 if lowprec else 6)
     inv_pi = float(1.0 / np.pi)
 
     def sin2(u):
@@ -143,7 +189,7 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         measured as the dominant act cost (BENCH_NOTES round 4)."""
         r1max = max_s // g
         ap = jnp.concatenate(
-            [a, jnp.zeros((r1max + 1, w_lanes), a.dtype)], axis=0
+            [a, jnp.zeros((r1max + 1, a.shape[1]), a.dtype)], axis=0
         )
         rolled = {}  # phase p → lane-rotated padded buffer (trace-time memo)
 
@@ -166,6 +212,31 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
 
         return shift
 
+    def act1d_mxu(a, alpha, inv_beta, up_ref, dn_ref):
+        """act1d with the polyphase FIRs as banded-matrix MXU matmuls
+        (packed layouts): row-shift slices + [128,256]/[256,128] dots
+        replace ~24 lane-rolled VPU tap chains per act; only the snake
+        (sin² + scale) stays on the VPU. bf16 operands — gated to bf16
+        pipelines where inter-stage storage already rounds at 2⁻⁸."""
+        if _DEBUG["no_act"]:
+            return tshift(a, 16)
+        sh = make_shifter(a.astype(w_dtype), (up_ref.shape[0] - 1) * g)
+        acc = jnp.dot(sh(0), up_ref[0], preferred_element_type=jnp.float32)
+        for r in range(1, up_ref.shape[0]):
+            acc = acc + jnp.dot(sh(r * g), up_ref[r],
+                                preferred_element_type=jnp.float32)
+        even = acc[:, :w_lanes]
+        odd = acc[:, w_lanes:]
+        even = even + inv_beta * sin2(even * alpha)
+        odd = odd + inv_beta * sin2(odd * alpha)
+        eo = jnp.concatenate([even, odd], axis=1).astype(w_dtype)
+        sh2 = make_shifter(eo, (dn_ref.shape[0] - 1) * g)
+        out = jnp.dot(sh2(0), dn_ref[0], preferred_element_type=jnp.float32)
+        for r in range(1, dn_ref.shape[0]):
+            out = out + jnp.dot(sh2(r * g), dn_ref[r],
+                                preferred_element_type=jnp.float32)
+        return out
+
     def act1d(a, alpha, inv_beta):
         """Fused up2→snake→down2, f32; output time 0 ↔ input time 8."""
         if _DEBUG["no_act"]:
@@ -176,8 +247,6 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         for m in range(1, 6):
             even = even + sh_a(m + 2) * even_up[m]
             odd = odd + sh_a(m + 3) * odd_up[m]
-        even = 2.0 * even
-        odd = 2.0 * odd
         even = even + inv_beta * sin2(even * alpha)
         odd = odd + inv_beta * sin2(odd * alpha)
         sh_even = make_shifter(even, 6)
@@ -209,9 +278,15 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
         return acc + b_ref[idx]
 
     def kernel(x_hbm, *refs):
-        # refs: (w0, b0, act0, w1, b1, act1, w2, b2, act2, out_ref)
+        # refs: (w0, b0, act0, w1, b1, act1, w2, b2, act2,
+        #        [fir_up, fir_dn,] out_ref)
         out_ref = refs[-1]
         blocks = [refs[3 * i : 3 * i + 3] for i in range(n_blocks)]
+        if mxu_fir:
+            fir_up, fir_dn = refs[3 * n_blocks], refs[3 * n_blocks + 1]
+            act = lambda a, al, ib: act1d_mxu(a, al, ib, fir_up, fir_dn)
+        else:
+            act = act1d
         bi = pl.program_id(0)
         ti = pl.program_id(1)
 
@@ -283,7 +358,7 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
             assert all(len(dp) == n_pairs for dp in dils_per_block)
             for j in range(n_pairs):
                 t1 = [
-                    act1d(a_blk[blk], blocks[blk][2][4 * j], blocks[blk][2][4 * j + 1])
+                    act(a_blk[blk], blocks[blk][2][4 * j], blocks[blk][2][4 * j + 1])
                     for blk in range(n_blocks)
                 ]
                 t2 = [
@@ -295,7 +370,7 @@ def _make_kernel(t_tile: int, ks, dils_per_block, taps, halo: int, g: int = 1,
                     for blk in range(n_blocks)
                 ]
                 t3 = [
-                    act1d(t2[blk], blocks[blk][2][4 * j + 2], blocks[blk][2][4 * j + 3])
+                    act(t2[blk], blocks[blk][2][4 * j + 2], blocks[blk][2][4 * j + 3])
                     for blk in range(n_blocks)
                 ]
                 t4 = [
@@ -361,7 +436,7 @@ def fused_amp_stage(
     dils_per_block: Tuple[Tuple[int, ...], ...],
     kind: str = "snakebeta",
     logscale: bool = True,
-    t_tile: int = 2048,
+    t_tile: int = 8192,
     interpret: bool = False,
     exact_edges: bool = True,
 ) -> jnp.ndarray:
@@ -400,8 +475,15 @@ def fused_amp_stage(
     )
     streamed = w_bytes > 48 * 1024 * 1024
 
+    # packed bf16 layouts route the act FIRs through the MXU (banded
+    # matmuls, _fir_mxu_mats) — only pays when g·(up+dn matmul count) is
+    # small, i.e. g = 4 (3+3 dots replace ~24 lane-rolled VPU tap chains)
+    mxu_fir = bool(
+        g >= 4 and dtype == jnp.bfloat16 and not _DEBUG["no_mxu_fir"]
+    )
     kernel = _make_kernel(t_tile, ks, dils_per_block, _phase_taps(), halo, g,
-                          w_lanes, streamed, w_dtype)
+                          w_lanes, streamed, w_dtype,
+                          lowprec=dtype == jnp.bfloat16, mxu_fir=mxu_fir)
 
     # effective act params (exp folded for logscale): rows per pair j are
     # (alpha1, 1/beta1, alpha2, 1/beta2) at 4j..4j+3, padded to 128 lanes
@@ -445,6 +527,16 @@ def fused_amp_stage(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * n_pairs, w_lanes), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * n_pairs, w_lanes), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    if mxu_fir:
+        fir_up, fir_dn = _fir_mxu_mats(g, cw, w_lanes, _phase_taps())
+        operands += [jnp.asarray(fir_up, w_dtype), jnp.asarray(fir_dn, w_dtype)]
+        specs += [
+            pl.BlockSpec(fir_up.shape, lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fir_dn.shape, lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ]
 
     t_pad = _round_up(t, t_tile)

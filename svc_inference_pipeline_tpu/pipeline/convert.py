@@ -270,10 +270,22 @@ class SVCPipeline:
 
             if str(whisper_ref) in WHISPER_URLS:
                 # registry name ("medium", …): resolve through the cached-
-                # download registry (reference __init__.py:33-64). Raises
-                # with the opt-in instructions when downloads are disabled
-                # — silently converting with random weights would be worse.
-                whisper_ref = fetch_whisper_checkpoint(whisper_ref)
+                # download registry (reference __init__.py:33-64). When
+                # downloads are disabled and nothing is cached, fall back
+                # to random init (the documented no-checkpoint behaviour)
+                # — but LOUDLY: converted audio from random whisper
+                # weights is garbage and must not look like a model bug.
+                try:
+                    whisper_ref = fetch_whisper_checkpoint(whisper_ref)
+                except FileNotFoundError as e:
+                    from svc_inference_pipeline_tpu.utils.observability import (
+                        get_logger,
+                    )
+
+                    get_logger("svc_tpu.pipeline").warning(
+                        "whisper checkpoint unavailable — falling back to "
+                        "RANDOM weights (%s)", e,
+                    )
         if not random_weights and os.path.exists(str(whisper_ref)):
             whisper = WhisperPPGExtractor.from_torch_checkpoint(whisper_ref, fs=cfg.fs)
         else:
