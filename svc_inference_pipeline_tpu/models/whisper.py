@@ -74,6 +74,11 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
     return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
 
 
+# perf A/B hook (perf_whisper.py): bf16 LN normalise/affine with f32
+# stats. Never set in production unless the BENCH_NOTES A/B graduated it.
+_DEBUG = {"fast_norms": False}
+
+
 class _LayerNormF32(nn.Module):
     """LayerNorm computed in f32 regardless of input dtype (model.py:29-31)."""
 
@@ -85,6 +90,12 @@ class _LayerNormF32(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
+        if _DEBUG["fast_norms"] and x.dtype == jnp.bfloat16:
+            # stats stay f32 (cancellation); the elementwise normalise +
+            # affine run at the storage width — halves those fusions'
+            # register/HBM traffic on the [T, 1024] activations
+            norm = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+            return norm * scale.astype(x.dtype) + bias.astype(x.dtype)
         y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         return y.astype(x.dtype)
 

@@ -85,3 +85,42 @@ def test_fused_stage_bf16_batch():
     ).astype(np.float32)
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.02, rel  # bf16 IO tolerance (relative)
+
+
+def test_fused_stage_bf16_mxu_fir_packed():
+    """g=4 packed bf16 routes the act FIRs through banded MXU matmuls
+    (_fir_mxu_mats); output must match both the f32 XLA oracle (to bf16
+    rounding) and the VPU tap-chain formulation (round-4 kernel lever)."""
+    import jax
+
+    from svc_inference_pipeline_tpu.ops.pallas import amp_stage
+
+    rng = np.random.default_rng(6)
+    c = 24  # → g = 4, the mxu_fir regime
+    x = jnp.asarray(rng.standard_normal((1, 2048, c)) * 0.3, jnp.bfloat16)
+    params = _stage_params(c, PROD_KS, PROD_DILS, seed=7)
+    ref = np.asarray(
+        _xla_stage(x.astype(jnp.float32), params, PROD_KS, PROD_DILS,
+                   "snakebeta", True)
+    )
+
+    got = np.asarray(
+        fused_amp_stage(x, params, PROD_KS, PROD_DILS, "snakebeta", True,
+                        interpret=True)
+    ).astype(np.float32)
+    amp_stage._DEBUG["no_mxu_fir"] = True
+    try:
+        jax.clear_caches()
+        vpu = np.asarray(
+            fused_amp_stage(x, params, PROD_KS, PROD_DILS, "snakebeta", True,
+                            interpret=True)
+        ).astype(np.float32)
+    finally:
+        amp_stage._DEBUG["no_mxu_fir"] = False
+        jax.clear_caches()
+
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 0.02  # bf16 IO tolerance
+    # the MXU formulation stays within the same bf16 noise class as the
+    # VPU path (both round the FIR operands to bf16, in different places)
+    assert np.abs(got - vpu).max() / scale < 0.02
