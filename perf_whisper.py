@@ -10,6 +10,11 @@ compute, Pallas attention) and A/Bs the remaining f32 islands:
 Numerics deltas vs (a) are printed alongside — an island only graduates
 to the live path when its device win is real AND the feature delta stays
 in the bf16 noise class.
+
+Caveat: under random_init the LN affine is identity (scale=1, bias=0), so
+the fast-norms delta prints exactly 0 (cast-before vs cast-after an
+identity affine is bitwise equal). The timing comparison is still valid;
+judge numerics on real checkpoints or randomized affines.
 """
 import os
 import sys

@@ -132,6 +132,10 @@ class MultiHeadAttention(nn.Module):
     n_state: int
     n_head: int
     use_pallas_attn: bool = True
+    # explicit compute dtype for the Dense layers: with the default (None)
+    # flax promotes through the f32 bias params, silently lifting the whole
+    # residual stream back to f32 even when inputs/kernels are bf16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv: Optional[Tuple] = None,
@@ -143,19 +147,20 @@ class MultiHeadAttention(nn.Module):
         incremental decoding: the freshly computed k/v rows are written at
         ``offset`` (a traced scalar is fine) and attention runs over the whole
         buffer — the caller's mask hides the not-yet-written tail."""
-        q = nn.Dense(self.n_state, name="query")(x)
+        q = nn.Dense(self.n_state, dtype=self.dtype, name="query")(x)
         if kv is not None:
             k, v = kv
         else:
             src = x if xa is None else xa
-            k = nn.Dense(self.n_state, use_bias=False, name="key")(src)
-            v = nn.Dense(self.n_state, name="value")(src)
+            k = nn.Dense(self.n_state, use_bias=False, dtype=self.dtype,
+                         name="key")(src)
+            v = nn.Dense(self.n_state, dtype=self.dtype, name="value")(src)
         if kv_buffer is not None:
             kb, vb = kv_buffer
             k = jax.lax.dynamic_update_slice_in_dim(kb, k.astype(kb.dtype), offset, 1)
             v = jax.lax.dynamic_update_slice_in_dim(vb, v.astype(vb.dtype), offset, 1)
         out = _attention(q, k, v, self.n_head, mask, use_pallas=self.use_pallas_attn)
-        return nn.Dense(self.n_state, name="out")(out), (k, v)
+        return nn.Dense(self.n_state, dtype=self.dtype, name="out")(out), (k, v)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -163,13 +168,14 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     cross_attention: bool = False
     use_pallas_attn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, cross_kv=None, self_kv=None,
                  self_buffer=None, offset=0):
         h, self_kv_out = MultiHeadAttention(
             self.n_state, self.n_head, use_pallas_attn=self.use_pallas_attn,
-            name="attn",
+            dtype=self.dtype, name="attn",
         )(
             _LayerNormF32(name="attn_ln")(x), mask=mask, kv=self_kv,
             kv_buffer=self_buffer, offset=offset,
@@ -178,13 +184,13 @@ class ResidualAttentionBlock(nn.Module):
         cross_kv_out = None
         if self.cross_attention:
             h, cross_kv_out = MultiHeadAttention(
-                self.n_state, self.n_head, name="cross_attn"
+                self.n_state, self.n_head, dtype=self.dtype, name="cross_attn"
             )(_LayerNormF32(name="cross_attn_ln")(x), xa=xa, kv=cross_kv)
             x = x + h
         y = _LayerNormF32(name="mlp_ln")(x)
-        y = nn.Dense(self.n_state * 4, name="mlp_0")(y)
+        y = nn.Dense(self.n_state * 4, dtype=self.dtype, name="mlp_0")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.n_state, name="mlp_2")(y)
+        y = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_2")(y)
         return x + y, (self_kv_out, cross_kv_out)
 
 
@@ -200,12 +206,18 @@ class WhisperAudioEncoder(nn.Module):
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         d = self.dims
         x = mel.transpose(0, 2, 1).astype(self.compute_dtype)  # [B, 3000, n_mels]
+        # dtype= is explicit everywhere below: the f32 bias/LN params would
+        # otherwise promote each layer's output (and hence the residual
+        # stream) back to f32, doubling the elementwise/HBM traffic that the
+        # bf16 compute_dtype is supposed to halve
         x = nn.gelu(
-            nn.Conv(d.n_audio_state, (3,), padding=[(1, 1)], name="conv1")(x),
+            nn.Conv(d.n_audio_state, (3,), padding=[(1, 1)],
+                    dtype=self.compute_dtype, name="conv1")(x),
             approximate=False,
         )
         x = nn.gelu(
-            nn.Conv(d.n_audio_state, (3,), strides=(2,), padding=[(1, 1)], name="conv2")(x),
+            nn.Conv(d.n_audio_state, (3,), strides=(2,), padding=[(1, 1)],
+                    dtype=self.compute_dtype, name="conv2")(x),
             approximate=False,
         )
         assert x.shape[1:] == (d.n_audio_ctx, d.n_audio_state), x.shape
@@ -222,13 +234,15 @@ class WhisperAudioEncoder(nn.Module):
             )
             x, _ = ScanBlocks(
                 d.n_audio_state, d.n_audio_head,
-                use_pallas_attn=self.use_pallas_attn, name="blocks",
+                use_pallas_attn=self.use_pallas_attn,
+                dtype=self.compute_dtype, name="blocks",
             )(x, None)
         else:
             for i in range(d.n_audio_layer):
                 x, _ = ResidualAttentionBlock(
                     d.n_audio_state, d.n_audio_head,
-                    use_pallas_attn=self.use_pallas_attn, name=f"block_{i}",
+                    use_pallas_attn=self.use_pallas_attn,
+                    dtype=self.compute_dtype, name=f"block_{i}",
                 )(x)
 
         x = _LayerNormF32(name="ln_post")(x)
@@ -239,12 +253,13 @@ class _ScannedBlock(nn.Module):
     n_state: int
     n_head: int
     use_pallas_attn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, _):
         y, _ = ResidualAttentionBlock(
             self.n_state, self.n_head, use_pallas_attn=self.use_pallas_attn,
-            name="block",
+            dtype=self.dtype, name="block",
         )(x)
         return y, None
 

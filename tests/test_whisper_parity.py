@@ -146,17 +146,34 @@ def test_extractor_scan_layers_matches_unrolled():
 
     from svc_inference_pipeline_tpu.pipeline.content import WhisperPPGExtractor
 
+    # structural equivalence is asserted at f32 compute, where stacking the
+    # converter-layout params must be near-exact; the production bf16 stream
+    # is only held to the bf16 noise class (scan/remat fuse and round
+    # differently from the unrolled loop)
+    plain32 = WhisperPPGExtractor.random_init(
+        "tiny", scan_layers=False, compute_dtype=jnp.float32
+    )
+    scanned32 = WhisperPPGExtractor(
+        plain32.dims,
+        jax.tree_util.tree_map(np.asarray, plain32.params),
+        scan_layers=True,
+        compute_dtype=jnp.float32,
+    )
+    assert "blocks" in scanned32.params and "block_0" not in scanned32.params
+    mel = np.random.default_rng(0).standard_normal((1, 80, 3000)).astype(np.float32)
+    a = np.asarray(plain32.embed_audio(jnp.asarray(mel)))
+    b = np.asarray(scanned32.embed_audio(jnp.asarray(mel)))
+    assert np.abs(a - b).max() < 1e-4
+
     plain = WhisperPPGExtractor.random_init("tiny", scan_layers=False)
     scanned = WhisperPPGExtractor(
         plain.dims,
         jax.tree_util.tree_map(np.asarray, plain.params),
         scan_layers=True,
     )
-    assert "blocks" in scanned.params and "block_0" not in scanned.params
-    mel = np.random.default_rng(0).standard_normal((1, 80, 3000)).astype(np.float32)
-    a = np.asarray(plain.embed_audio(jnp.asarray(mel)))
-    b = np.asarray(scanned.embed_audio(jnp.asarray(mel)))
-    assert np.abs(a - b).max() < 2e-2
+    a16 = np.asarray(plain.embed_audio(jnp.asarray(mel)))
+    b16 = np.asarray(scanned.embed_audio(jnp.asarray(mel)))
+    assert np.abs(a16 - b16).max() / np.abs(a16).max() < 3e-2
 
 
 def test_scanned_bf16_storage_keeps_layernorm_f32():
