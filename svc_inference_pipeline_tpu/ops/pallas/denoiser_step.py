@@ -53,6 +53,15 @@ from svc_inference_pipeline_tpu.models.diffsvc_fast import precompute
 
 LANE = 128
 
+# A/B switch (perf_scanstep.py): draw all 1000 step noises in one vmapped
+# threefry before the scan instead of per-step inside it. Bit-identical
+# draws either way; trades transient HBM (steps × B × T × M_pad f32 —
+# ~0.5 GB at the production 10 s single-clip shape) for the per-step RNG
+# time. Falls back to per-step draws above _PREDRAW_Z_MAX_BYTES so long
+# clips / big serving batches never balloon peak memory.
+_PREDRAW_Z = True
+_PREDRAW_Z_MAX_BYTES = 768 * 1024 * 1024
+
 
 class StackedDenoiser(NamedTuple):
     """Per-layer weights stacked for the kernel (compute dtype)."""
@@ -385,6 +394,21 @@ def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
     x = jnp.pad(x, pad)
     step_keys = jax.random.split(key, num_steps)
 
+    # Pre-draw every step's z in ONE vmapped threefry (bit-identical to the
+    # per-step draws: same key → same bits) and pre-pad to the lane
+    # boundary, so the scan body reads a slice instead of running 1000
+    # small latency-bound RNG fusions (~4.5 ms/conversion on v5e).
+    # [steps, B, T, M_pad] f32 ≈ 0.5 GB at production shapes — transient.
+    z_bytes = num_steps * int(np.prod(shape[:-1])) * m_pad * 4
+    predraw = _PREDRAW_Z and z_bytes <= _PREDRAW_Z_MAX_BYTES
+    predrawn_zs = None
+    if predraw:
+        predrawn_zs = jax.vmap(
+            lambda k: jnp.pad(
+                jax.random.normal(k, tuple(shape), dtype=jnp.float32), pad
+            )
+        )(step_keys)
+
     ts = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
     sigma = jnp.where(
         ts > 0, jnp.exp(0.5 * schedule.posterior_log_variance_clipped[ts]), 0.0
@@ -401,16 +425,20 @@ def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
     ).astype(jnp.float32)  # [steps, 5]
 
     def body(x, inp):
-        t, k, srow = inp
-        z = jax.random.normal(k, tuple(shape), dtype=jnp.float32)  # same draw
-        z = jnp.pad(z, pad)
+        if predraw:
+            t, z, srow = inp
+        else:
+            t, k, srow = inp
+            z = jax.random.normal(k, tuple(shape), dtype=jnp.float32)  # same draw
+            z = jnp.pad(z, pad)
         x = _ddpm_step_pallas(
             stacked, condb, step_rows[t], x, z, srow, cfg_key, interpret
         )
         return x, None
 
     unroll_eff = max(u for u in range(1, unroll + 1) if num_steps % u == 0)
-    x, _ = jax.lax.scan(body, x, (ts, step_keys, rows), unroll=unroll_eff)
+    xs = (ts, predrawn_zs if predraw else step_keys, rows)
+    x, _ = jax.lax.scan(body, x, xs, unroll=unroll_eff)
     return x[:, :, :n_mel]
 
 

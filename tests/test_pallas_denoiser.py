@@ -118,3 +118,20 @@ def test_fused_ddpm_sampler_batched(setup):
     got = np.asarray(fn.fused_ddpm(key, shape, sched))
     err = np.abs(got - ref).max()
     assert err < 1e-4, f"batched fused ddpm err {err}"
+
+
+def test_fused_ddpm_sampler_predraw_guard(setup, monkeypatch):
+    """Above the pre-draw memory cap the sampler falls back to per-step z
+    draws — same keys, so the waveform is identical either way."""
+    from svc_inference_pipeline_tpu.ops.pallas import denoiser_step
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, x, cond = setup
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 10])
+    fn = make_pallas_denoise_fn(params, cond, 10, mcfg,
+                                compute_dtype=jnp.float32, interpret=True)
+    key = jax.random.PRNGKey(5)
+    pre = np.asarray(fn.fused_ddpm(key, x.shape, sched))
+    monkeypatch.setattr(denoiser_step, "_PREDRAW_Z_MAX_BYTES", 0)
+    per_step = np.asarray(fn.fused_ddpm(key, x.shape, sched))
+    np.testing.assert_array_equal(pre, per_step)
