@@ -261,6 +261,15 @@ class SVCPipeline:
 
         key = jax.random.PRNGKey(seed)
 
+        # the whisper extractor must honour cfg.compute_dtype too — its
+        # constructor default (bf16) would otherwise silently override an
+        # f32 config (parity tests set f32 to make path-equivalence exact)
+        whisper_dtype = (
+            jnp.bfloat16
+            if cfg.get("compute_dtype", "bfloat16") == "bfloat16"
+            else jnp.float32
+        )
+
         whisper_ref = cfg.whisper_model
         if not random_weights and not os.path.exists(str(whisper_ref)):
             from svc_inference_pipeline_tpu.checkpoints.fetch import (
@@ -287,9 +296,13 @@ class SVCPipeline:
                         "RANDOM weights (%s)", e,
                     )
         if not random_weights and os.path.exists(str(whisper_ref)):
-            whisper = WhisperPPGExtractor.from_torch_checkpoint(whisper_ref, fs=cfg.fs)
+            whisper = WhisperPPGExtractor.from_torch_checkpoint(
+                whisper_ref, fs=cfg.fs, compute_dtype=whisper_dtype
+            )
         else:
-            whisper = WhisperPPGExtractor.random_init(whisper_size, fs=cfg.fs)
+            whisper = WhisperPPGExtractor.random_init(
+                whisper_size, fs=cfg.fs, compute_dtype=whisper_dtype
+            )
             # a non-medium random whisper emits a different feature width —
             # adapt the content-encoder input dim (smoke mode only)
             width = whisper.dims.n_audio_state

@@ -4,6 +4,7 @@ checkpoints; structure, shapes, determinism, and golden-file DSP metrics)."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -75,15 +76,23 @@ def test_convert_end_to_end(pipe, test_wav, tmp_path):
 
 def test_pcm16_upload_matches_float(pipe, test_wav):
     """upload_pcm16 front-end ≈ float front-end: the ±2⁻¹⁶ waveform
-    quantisation must stay below audible/feature-level tolerances."""
+    quantisation must stay below audible/feature-level tolerances.
+
+    The pipe runs the production bf16 whisper stream: a ±2⁻¹⁶ input
+    perturbation flips bf16 rounding through 4 encoder blocks, so the
+    content features carry bf16-ULP-class deltas (~1e-2 rel) on top of
+    the quantisation itself — the bf16 tolerance reflects that class,
+    while the f32-computed features (mel/F0/loudness) stay tight."""
     a, na = pipe.extract_features(test_wav, "svcc_CDF1")
     b, nb = pipe.extract_features(test_wav, "svcc_CDF1", upload_pcm16=True)
     assert na == nb
+    whisper_bf16 = pipe.whisper.encoder.compute_dtype == jnp.bfloat16
     for k in a:
         x, y = np.asarray(a[k], np.float32), np.asarray(b[k], np.float32)
         assert x.shape == y.shape, k
         scale = max(np.abs(x).max(), 1e-6)
-        assert np.abs(x - y).max() / scale < 2e-3, (k, np.abs(x - y).max())
+        tol = 3e-2 if (whisper_bf16 and k == "content_whisper") else 2e-3
+        assert np.abs(x - y).max() / scale < tol, (k, np.abs(x - y).max())
 
 
 def test_convert_deterministic_with_key(pipe, test_wav):
