@@ -64,7 +64,15 @@ _PREDRAW_Z_MAX_BYTES = 768 * 1024 * 1024
 
 
 class StackedDenoiser(NamedTuple):
-    """Per-layer weights stacked for the kernel (compute dtype)."""
+    """Per-layer weights stacked for the kernel (compute dtype).
+
+    When quantised (``stack_denoiser_params(..., quantize="int8")``) the
+    two hot matmul weights w1/wout are symmetric per-output-channel int8
+    and ``w1s``/``wouts`` carry their f32 column scales; everything else
+    (biases, the once-per-step mel/skip/output projections) stays at the
+    compute dtype. int8 runs the MXU at 2x the bf16 rate (int32
+    accumulation), halving the per-step FLOP roof of the 1000-step scan.
+    """
 
     w1: jnp.ndarray  # [L, 3C, 2C]  (tap-major rows: [left; mid; right])
     b1: jnp.ndarray  # [L, 2C]      (f32 — folded into the cond block)
@@ -76,9 +84,21 @@ class StackedDenoiser(NamedTuple):
     bskip: jnp.ndarray  # [1, C]
     wo: jnp.ndarray  # [C, M_pad]
     bo: jnp.ndarray  # [1, M_pad]
+    w1s: Any = None  # [L, 1, 2C] f32 — int8 column scales (quantized only)
+    wouts: Any = None  # [L, 1, 2C] f32
 
 
-def stack_denoiser_params(params: Any, cfg, dtype=jnp.bfloat16) -> StackedDenoiser:
+def _quantize_cols(w):
+    """Symmetric per-output-channel int8: w ≈ q * s, q ∈ [-127, 127]."""
+    w = jnp.asarray(w, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12) / 127.0
+    q = jnp.clip(jnp.rint(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def stack_denoiser_params(
+    params: Any, cfg, dtype=jnp.bfloat16, quantize: str | None = None
+) -> StackedDenoiser:
     L = cfg.residual_layer_num
     c = cfg.residual_channels
     n_mel = cfg.n_mel
@@ -87,15 +107,32 @@ def stack_denoiser_params(params: Any, cfg, dtype=jnp.bfloat16) -> StackedDenois
     def cast(x):
         return jnp.asarray(x, dtype=dtype)
 
-    w1 = jnp.stack(
-        [cast(params[f"residual_{i}"]["dilated_conv"]["kernel"]).reshape(3 * c, 2 * c)
-         for i in range(L)]
-    )
+    w1_f = [
+        jnp.asarray(params[f"residual_{i}"]["dilated_conv"]["kernel"], jnp.float32)
+        .reshape(3 * c, 2 * c)
+        for i in range(L)
+    ]
+    wout_f = [
+        jnp.asarray(params[f"residual_{i}"]["output_projection"]["kernel"], jnp.float32)
+        for i in range(L)
+    ]
+    w1s = wouts = None
+    if quantize == "int8":
+        q1 = [_quantize_cols(w) for w in w1_f]
+        qo = [_quantize_cols(w) for w in wout_f]
+        w1 = jnp.stack([q for q, _ in q1])
+        w1s = jnp.stack([s for _, s in q1])
+        wout = jnp.stack([q for q, _ in qo])
+        wouts = jnp.stack([s for _, s in qo])
+    elif quantize is None:
+        w1 = jnp.stack([w.astype(dtype) for w in w1_f])
+        wout = jnp.stack([w.astype(dtype) for w in wout_f])
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r} (use None or 'int8')")
     b1 = jnp.stack(
         [jnp.asarray(params[f"residual_{i}"]["dilated_conv"]["bias"], jnp.float32)
          for i in range(L)]
     )
-    wout = jnp.stack([cast(params[f"residual_{i}"]["output_projection"]["kernel"]) for i in range(L)])
     bout = jnp.stack([cast(params[f"residual_{i}"]["output_projection"]["bias"]) for i in range(L)])[:, None, :]
 
     wmel = cast(params["mel_preprocess"]["kernel"])
@@ -105,10 +142,12 @@ def stack_denoiser_params(params: Any, cfg, dtype=jnp.bfloat16) -> StackedDenois
     bskip = cast(params["skip_projection"]["bias"])[None]
     wo = jnp.pad(cast(params["output_projection"]["kernel"]), [(0, 0), (0, m_pad - n_mel)])
     bo = jnp.pad(cast(params["output_projection"]["bias"]), (0, m_pad - n_mel))[None]
-    return StackedDenoiser(w1, b1, wout, bout, wmel, bmel, wskip, bskip, wo, bo)
+    return StackedDenoiser(w1, b1, wout, bout, wmel, bmel, wskip, bskip, wo, bo,
+                           w1s, wouts)
 
 
-def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int, fused: bool = False):
+def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
+                 fused: bool = False, quant: bool = False):
     from jax.experimental import pallas as pl
 
     inv_sqrt2 = np.float32(1.0 / math.sqrt(2.0))
@@ -121,7 +160,12 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int, fused: bool = Fa
         # wout_ref [1, C, 2C], bout_ref [1, 1, 2C], wmel/bmel, wskip/bskip,
         # wo/bo — the stacked weights; fused adds z_ref [1, T, M_pad] (f32
         # step noise) and s_ref [1, 5] (SMEM schedule scalars for step t:
-        # sqrt(1/acum), sqrt(1/acum - 1), post_coef1, post_coef2, sigma).
+        # sqrt(1/acum), sqrt(1/acum - 1), post_coef1, post_coef2, sigma);
+        # quant adds w1s_ref/wouts_ref [1, 1, 2C] f32 int8 column scales.
+        refs = list(refs)
+        if quant:
+            w1s_ref = refs.pop(12)
+            wouts_ref = refs.pop(12)
         if fused:
             (x_ref, step_ref, w1_ref, condb_ref, wout_ref, bout_ref,
              wmel_ref, bmel_ref, wskip_ref, bskip_ref, wo_ref, bo_ref,
@@ -144,7 +188,17 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int, fused: bool = Fa
 
         step_row = step_ref[0, 0].astype(jnp.float32)  # [C]
         h = h_ref[:]
-        y_in = (h.astype(jnp.float32) + step_row).astype(h_ref.dtype)
+        y_f = h.astype(jnp.float32) + step_row
+        if quant:
+            # dynamic symmetric per-tensor int8 for the conv input: one
+            # VPU max-reduction (~0.4 µs at [944,384]) buys an int8 MXU
+            # matmul at 2x the bf16 rate
+            s_y = jnp.maximum(jnp.max(jnp.abs(y_f)), 1e-12) * (1.0 / 127.0)
+            y_in = jnp.clip(jnp.rint(y_f * (1.0 / s_y)), -127.0, 127.0).astype(
+                jnp.int8
+            )
+        else:
+            y_in = y_f.astype(h_ref.dtype)
 
         # concat-tap build: [left | centre | right], the dilation shift
         # selected by a static 4-way switch (Mosaic requires static
@@ -168,11 +222,23 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int, fused: bool = Fa
         # ONE deep-K matmul for the whole dilated conv; bias pre-folded
         # into the conditioner block. f32 gates: bf16 transcendentals trip
         # a Mosaic lowering bug and measure ~2% anyway (perf_scan3).
-        acc = jnp.dot(y3_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
+        if quant:
+            acc = jnp.dot(y3_ref[:], w1_ref[0], preferred_element_type=jnp.int32)
+            acc = acc.astype(jnp.float32) * (s_y * w1s_ref[0, 0])
+        else:
+            acc = jnp.dot(y3_ref[:], w1_ref[0], preferred_element_type=jnp.float32)
         acc = acc + condb_ref[0, 0].astype(jnp.float32)
-        g = (jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])).astype(h_ref.dtype)
+        gf = jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])
 
-        yo = jnp.dot(g, wout_ref[0], preferred_element_type=jnp.float32)
+        if quant:
+            # the gate output is bounded in (-1, 1) — static 1/127 scale,
+            # no reduction needed
+            gq = jnp.clip(jnp.rint(gf * 127.0), -127.0, 127.0).astype(jnp.int8)
+            yo = jnp.dot(gq, wout_ref[0], preferred_element_type=jnp.int32)
+            yo = yo.astype(jnp.float32) * (wouts_ref[0, 0] * (1.0 / 127.0))
+        else:
+            g = gf.astype(h_ref.dtype)
+            yo = jnp.dot(g, wout_ref[0], preferred_element_type=jnp.float32)
         yo = yo + bout_ref[0, 0].astype(jnp.float32)
         h_ref[:] = ((h.astype(jnp.float32) + yo[:, :c]) * inv_sqrt2).astype(h_ref.dtype)
         skip_ref[:] = skip_ref[:] + yo[:, c:]
@@ -213,12 +279,13 @@ def _denoise_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     n_layers, cycle, c, n_mel, t_len = cfg_key
     m_pad = -(-n_mel // LANE) * LANE
-    dtype = stacked.w1.dtype
+    quant = stacked.w1.dtype == jnp.int8
+    dtype = stacked.wmel.dtype  # compute dtype (== w1.dtype unless int8)
     b = x.shape[0]
 
     xp = jnp.pad(x.astype(dtype), [(0, 0), (0, 0), (0, m_pad - n_mel)])  # [B, T, M_pad]
 
-    kernel = _make_kernel(t_len, c, n_layers, cycle)
+    kernel = _make_kernel(t_len, c, n_layers, cycle, quant=quant)
     grid = (b, n_layers)  # layer innermost: scratch carries across layers per clip
 
     def fixed(shape):
@@ -235,6 +302,8 @@ def _denoise_pallas(
             (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
         )
 
+    scale_specs = [per_layer((1, 2 * c))] * 2 if quant else []
+    scale_args = [stacked.w1s, stacked.wouts] if quant else []
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
@@ -254,11 +323,12 @@ def _denoise_pallas(
             fixed((1, c)),  # bskip
             fixed((c, m_pad)),  # wo
             fixed((1, m_pad)),  # bo
+            *scale_specs,  # w1s, wouts [L,1,2C] f32 (quantized only)
         ],
         out_specs=per_batch((t_len, m_pad)),
         scratch_shapes=[
             pltpu.VMEM((t_len, c), dtype),
-            pltpu.VMEM((t_len, 3 * c), dtype),
+            pltpu.VMEM((t_len, 3 * c), stacked.w1.dtype),
             pltpu.VMEM((t_len, c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -278,6 +348,7 @@ def _denoise_pallas(
         stacked.bskip,
         stacked.wo,
         stacked.bo,
+        *scale_args,
     )
     return out[:, :, :n_mel].astype(jnp.float32)
 
@@ -300,10 +371,11 @@ def _ddpm_step_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     n_layers, cycle, c, n_mel, t_len = cfg_key
     m_pad = -(-n_mel // LANE) * LANE
-    dtype = stacked.w1.dtype
+    quant = stacked.w1.dtype == jnp.int8
+    dtype = stacked.wmel.dtype  # compute dtype (== w1.dtype unless int8)
     b = x.shape[0]
 
-    kernel = _make_kernel(t_len, c, n_layers, cycle, fused=True)
+    kernel = _make_kernel(t_len, c, n_layers, cycle, fused=True, quant=quant)
     grid = (b, n_layers)
 
     def fixed(shape):
@@ -319,6 +391,8 @@ def _ddpm_step_pallas(
             (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
         )
 
+    scale_specs = [per_layer((1, 2 * c))] * 2 if quant else []
+    scale_args = [stacked.w1s, stacked.wouts] if quant else []
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
@@ -338,13 +412,14 @@ def _ddpm_step_pallas(
             fixed((1, c)),  # bskip
             fixed((c, m_pad)),  # wo
             fixed((1, m_pad)),  # bo
+            *scale_specs,  # w1s, wouts [L,1,2C] f32 (quantized only)
             per_batch((t_len, m_pad)),  # z
             pl.BlockSpec((1, 5), lambda bi, l: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=per_batch((t_len, m_pad)),
         scratch_shapes=[
             pltpu.VMEM((t_len, c), dtype),
-            pltpu.VMEM((t_len, 3 * c), dtype),
+            pltpu.VMEM((t_len, 3 * c), stacked.w1.dtype),
             pltpu.VMEM((t_len, c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -364,6 +439,7 @@ def _ddpm_step_pallas(
         stacked.bskip,
         stacked.wo,
         stacked.bo,
+        *scale_args,
         z,
         srow[None].astype(jnp.float32),
     )
@@ -443,17 +519,22 @@ def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
 
 
 def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
-                           compute_dtype=jnp.bfloat16, interpret: bool = False):
+                           compute_dtype=jnp.bfloat16, interpret: bool = False,
+                           quantize: str | None = None):
     """Sampler-compatible denoise_fn backed by the fused kernel.
 
     Falls back (by raising at build) if the shape restrictions don't hold.
+    ``quantize="int8"`` runs the two hot per-layer matmuls on int8 MXU
+    (per-output-channel weight scales, dynamic per-tensor activation
+    scale) — ~2x the bf16 MXU rate at a measured quality cost (opt-in;
+    see tests/test_int8_denoiser.py and perf_int8.py).
     """
     c = cfg.residual_channels
     assert c % LANE == 0, c
     assert cfg.residual_kernel_size == 3
 
     pre = precompute(params, cond, num_steps, cfg, compute_dtype)
-    stacked = stack_denoiser_params(params, cfg, compute_dtype)
+    stacked = stack_denoiser_params(params, cfg, compute_dtype, quantize=quantize)
     # fold the dilated-conv bias into the conditioner block: one VMEM add
     # per layer instead of two; [L,B,T,2C] -> batch-major [B,L,T,2C]
     condb = (pre.cond_projs.astype(jnp.float32)

@@ -161,6 +161,22 @@ class SVCPipeline:
             and cfg.mapper.residual_channels % 128 == 0
         )
         self._use_pallas_denoiser = kernel_shapes_ok and self.mesh is None
+        # opt-in int8 denoiser: the two hot per-layer matmuls run on the
+        # int8 MXU at 2x the bf16 rate (per-output-channel weight scales,
+        # dynamic activation scale). Accuracy trade measured in
+        # tests/test_int8_denoiser.py + perf_int8.py. Kernel-only — the
+        # XLA fast-path fallback (non-divisible DP batches) runs at the
+        # compute dtype instead, i.e. degrades UP in precision.
+        self._denoiser_quantize = cfg.get("denoiser_quantize", None)
+        if self._denoiser_quantize not in (None, "int8"):
+            raise ValueError(
+                f"denoiser_quantize={self._denoiser_quantize!r}: use 'int8' or unset"
+            )
+        if self._denoiser_quantize and not kernel_shapes_ok:
+            raise ValueError(
+                "denoiser_quantize requires the fused Pallas denoiser "
+                "(use_pallas_denoiser, kernel_size=3, channels % 128 == 0)"
+            )
         self._data_axis = (
             cfg.parallel.get("data_axis", "data") if "parallel" in cfg else "data"
         )
@@ -410,10 +426,13 @@ class SVCPipeline:
             )
             mel_norm = self._run_sampler(denoise_fn, cond, key, shape, sampler, speedup)
         else:
+            extra = {}
             if self._use_pallas_denoiser:
                 from svc_inference_pipeline_tpu.ops.pallas.denoiser_step import (
                     make_pallas_denoise_fn as make_denoise_fn,
                 )
+
+                extra = {"quantize": self._denoiser_quantize}
             else:
                 from svc_inference_pipeline_tpu.models.diffsvc_fast import (
                     make_fast_denoise_fn as make_denoise_fn,
@@ -425,6 +444,7 @@ class SVCPipeline:
                 self.schedule.num_steps,
                 self.cfg.mapper,
                 compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+                **extra,
             )
             mel_norm = self._run_sampler(denoise_fn, cond, key, shape, sampler, speedup)
 
@@ -523,6 +543,7 @@ class SVCPipeline:
                 self.schedule.num_steps,
                 self.cfg.mapper,
                 compute_dtype=self.denoiser.compute_dtype or jnp.float32,
+                quantize=self._denoiser_quantize,
             )
             return self._run_sampler(
                 fn, cond_l, k, (cond_l.shape[0], n_frames, n_mel), sampler, speedup

@@ -115,3 +115,35 @@ def test_pipeline_pallas_denoiser_dp_mesh(cfg, test_wav):
         n = min(len(ref), len(got))
         err = np.abs(got[:n].astype(np.float64) - ref[:n].astype(np.float64)).max()
         assert err < 2e-3, f"dp shard {i} err {err}"
+
+
+def test_pipeline_int8_denoiser_close(cfg, test_wav):
+    """denoiser_quantize="int8" routes the conversion through the int8
+    kernel; the waveform stays close to the unquantized kernel pipe (same
+    weights/keys — only the matmul precision differs)."""
+    from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
+
+    d = cfg.to_dict()
+    d["mapper"]["noise_schedule_factors"] = [0.0001, 0.02, 10]
+    d["mapper"]["residual_layer_num"] = 2
+    d["vocoder"]["upsample_initial_channel"] = 256
+    d["use_pallas_vocoder"] = False
+    d["use_pallas_denoiser"] = True
+    d["compute_dtype"] = "float32"
+    ref_pipe = SVCPipeline.from_config(
+        HParams(**d), random_weights=True, whisper_size="tiny"
+    )
+    ref = np.asarray(ref_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0)))
+
+    d["denoiser_quantize"] = "int8"
+    q_pipe = SVCPipeline.from_config(
+        HParams(**d), random_weights=True, whisper_size="tiny"
+    )
+    assert q_pipe._denoiser_quantize == "int8"
+    got = np.asarray(q_pipe.convert(test_wav, "svcc_CDF1", key=jax.random.PRNGKey(0)))
+
+    assert got.shape == ref.shape
+    # int8 perturbs the mel trajectory; the waveform stays strongly
+    # correlated but not bit-close — pin correlation, not max error
+    corr = np.corrcoef(got.astype(np.float64), ref.astype(np.float64))[0, 1]
+    assert corr > 0.98, f"int8 pipeline corr {corr}"
