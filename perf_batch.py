@@ -8,6 +8,7 @@ number that decides whether batching can pay beyond overhead amortisation.
 PERF_BATCH_SAMPLER=ddpm runs the DDPM-1000 path (batched fused Pallas
 denoiser) instead of the PLMS@10 serving default.
 PERF_BATCH_SIZES=1,4,8 overrides the batch list.
+PERF_BATCH_QUANTIZE=int8 turns on the int8 denoiser speed mode.
 """
 
 import os
@@ -36,6 +37,9 @@ def main():
     cfg = load_config(DEFAULT_CONFIG)
     d = cfg.to_dict()
     d["mapper"]["sampler"] = sampler
+    quant = os.environ.get("PERF_BATCH_QUANTIZE") or None
+    if quant:
+        d["denoiser_quantize"] = quant
     cfg = HParams(**d)
 
     src = "/root/reference/test_set/1100000814.wav"
@@ -48,7 +52,7 @@ def main():
     pipe = SVCPipeline.from_config(cfg, random_weights=True, whisper_size="medium")
     singers = ["svcc_CDF1", "svcc_CDM1", "svcc_IDF1", "svcc_IDM1"]
 
-    print(f"sampler={sampler}  sizes={sizes}", flush=True)
+    print(f"sampler={sampler}  sizes={sizes}  quantize={quant}", flush=True)
     base_clips_s = None
     for b in sizes:
         clips = [clip] * b

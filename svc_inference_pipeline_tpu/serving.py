@@ -430,12 +430,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--sampler", choices=["ddpm", "plms", "ddim", "dpmpp"],
                    default=None, help="override cfg.mapper.sampler")
     p.add_argument("--speedup", type=int, default=None, help="fast-sampler stride")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 denoiser matmuls (2x MXU rate, small accuracy trade)")
     args = p.parse_args(argv)
 
     from svc_inference_pipeline_tpu.config import load_config
     from svc_inference_pipeline_tpu.pipeline.convert import SVCPipeline
 
     cfg = load_config(args.config)
+    if args.quantize:
+        cfg.denoiser_quantize = args.quantize
     pipeline = SVCPipeline.from_config(
         cfg, random_weights=args.random_weights, whisper_size=args.whisper_size
     )
