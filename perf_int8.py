@@ -59,10 +59,14 @@ def main():
     shape = (b, t, mcfg.n_mel)
 
     outs = {}
-    for quant in (None, "int8"):
-        tag = quant or "bf16"
+    variants = [
+        (None, 0), ("int8", 0), ("int8-w1", 0), ("int8", 50), ("int8-w1", 50),
+    ]
+    for quant, tail in variants:
+        tag = (quant or "bf16") + (f"+tail{tail}" if tail else "")
         fn = make_pallas_denoise_fn(params, cond, sched.num_steps, mcfg,
-                                    compute_dtype=jnp.bfloat16, quantize=quant)
+                                    compute_dtype=jnp.bfloat16, quantize=quant,
+                                    quantize_tail=tail)
         run = jax.jit(lambda k: fn.fused_ddpm(k, shape, sched))
         t0 = time.time()
         out = run(key)
@@ -80,12 +84,15 @@ def main():
             flush=True,
         )
 
-    a, q = outs["bf16"], outs["int8"]
-    rel = float(np.abs(q - a).max() / np.abs(a).max())
-    corr = float(np.corrcoef(q.ravel(), a.ravel())[0, 1])
-    rmse = float(np.sqrt(np.mean((q - a) ** 2)))
-    print(f"int8 vs bf16 final mel: rel-max-err {rel:.4f}  corr {corr:.6f}  "
-          f"rmse {rmse:.5f}", flush=True)
+    a = outs["bf16"]
+    for tag, q in outs.items():
+        if tag == "bf16":
+            continue
+        rel = float(np.abs(q - a).max() / np.abs(a).max())
+        corr = float(np.corrcoef(q.ravel(), a.ravel())[0, 1])
+        rmse = float(np.sqrt(np.mean((q - a) ** 2)))
+        print(f"{tag:>12} vs bf16 final mel: rel-max-err {rel:.4f}  "
+              f"corr {corr:.6f}  rmse {rmse:.5f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -89,15 +89,25 @@ def fetch_whisper_checkpoint(
         from urllib.request import urlopen as _urlopen
 
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = target + ".download"
-    with _urlopen(WHISPER_URLS[name]) as src, open(tmp, "wb") as out:
-        for block in iter(lambda: src.read(1 << 20), b""):
-            out.write(block)
-    if file_sha256(tmp) != expected:
-        os.remove(tmp)
-        raise RuntimeError(
-            f"{name}: downloaded checkpoint failed its sha256 check — "
-            "retry, the transfer was corrupt (whisper_extractor/__init__.py:61-63)"
-        )
-    os.replace(tmp, target)
+    # per-process unique temp name + finally-cleanup: an exception
+    # mid-transfer must not strand a partial file, and two concurrent
+    # fetches must not race each other's replace/remove
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=f"{name}.pt.download.", dir=cache_dir
+    )
+    try:
+        with _urlopen(WHISPER_URLS[name]) as src, os.fdopen(fd, "wb") as out:
+            for block in iter(lambda: src.read(1 << 20), b""):
+                out.write(block)
+        if file_sha256(tmp) != expected:
+            raise RuntimeError(
+                f"{name}: downloaded checkpoint failed its sha256 check — "
+                "retry, the transfer was corrupt (whisper_extractor/__init__.py:61-63)"
+            )
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return target

@@ -461,9 +461,14 @@ def fused_amp_stage(
     cw = w_lanes // g  # channel slots per phase (g=1: the full width)
 
     halo = _round_up(max(_block_halo(k, d) for k, d in zip(ks, dils_per_block)), 16)
-    # wider arrays (C > 128) scale the tile down to hold VMEM footprint
-    t_tile = min(t_tile * LANE // w_lanes, _round_up(t, 16))
-    t_tile = _round_up(t_tile, 8 * g)
+    # wider arrays (C > 128) scale the tile cap down to hold VMEM
+    # footprint; T then splits into EQUAL tiles under that cap — a fixed
+    # big tile would round t_pad up to a tile multiple and waste up to
+    # ~2x compute on clips that land just past a multiple (short/serving
+    # lengths especially)
+    t_cap = max(t_tile * LANE // w_lanes, max(16, 8 * g))
+    n_tiles = max(1, -(-t // t_cap))
+    t_tile = _round_up(-(-t // n_tiles), max(16, 8 * g))
 
     w_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     # weight residency: the full stage's weights ride VMEM when they fit;

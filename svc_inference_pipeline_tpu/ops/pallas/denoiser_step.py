@@ -117,18 +117,26 @@ def stack_denoiser_params(
         for i in range(L)
     ]
     w1s = wouts = None
-    if quantize == "int8":
+    if quantize in ("int8", "int8-w1"):
         q1 = [_quantize_cols(w) for w in w1_f]
-        qo = [_quantize_cols(w) for w in wout_f]
         w1 = jnp.stack([q for q, _ in q1])
         w1s = jnp.stack([s for _, s in q1])
-        wout = jnp.stack([q for q, _ in qo])
-        wouts = jnp.stack([s for _, s in qo])
+        if quantize == "int8":
+            qo = [_quantize_cols(w) for w in wout_f]
+            wout = jnp.stack([q for q, _ in qo])
+            wouts = jnp.stack([s for _, s in qo])
+        else:
+            # mixed mode: the output projection stays at the compute dtype
+            # — it carries ~2/3 of the int8 weight-rounding error at 1/3
+            # of the matmul FLOPs (perf_int8_iso.py)
+            wout = jnp.stack([w.astype(dtype) for w in wout_f])
     elif quantize is None:
         w1 = jnp.stack([w.astype(dtype) for w in w1_f])
         wout = jnp.stack([w.astype(dtype) for w in wout_f])
     else:
-        raise ValueError(f"unknown quantize mode {quantize!r} (use None or 'int8')")
+        raise ValueError(
+            f"unknown quantize mode {quantize!r} (use None, 'int8' or 'int8-w1')"
+        )
     b1 = jnp.stack(
         [jnp.asarray(params[f"residual_{i}"]["dilated_conv"]["bias"], jnp.float32)
          for i in range(L)]
@@ -147,7 +155,8 @@ def stack_denoiser_params(
 
 
 def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
-                 fused: bool = False, quant: bool = False):
+                 fused: bool = False, quant1: bool = False,
+                 quant2: bool = False):
     from jax.experimental import pallas as pl
 
     inv_sqrt2 = np.float32(1.0 / math.sqrt(2.0))
@@ -161,10 +170,12 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
         # wo/bo — the stacked weights; fused adds z_ref [1, T, M_pad] (f32
         # step noise) and s_ref [1, 5] (SMEM schedule scalars for step t:
         # sqrt(1/acum), sqrt(1/acum - 1), post_coef1, post_coef2, sigma);
-        # quant adds w1s_ref/wouts_ref [1, 1, 2C] f32 int8 column scales.
+        # quant1/quant2 add w1s_ref/wouts_ref [1, 1, 2C] f32 int8 column
+        # scales (each present only when its matmul is quantized).
         refs = list(refs)
-        if quant:
+        if quant1:
             w1s_ref = refs.pop(12)
+        if quant2:
             wouts_ref = refs.pop(12)
         if fused:
             (x_ref, step_ref, w1_ref, condb_ref, wout_ref, bout_ref,
@@ -189,10 +200,15 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
         step_row = step_ref[0, 0].astype(jnp.float32)  # [C]
         h = h_ref[:]
         y_f = h.astype(jnp.float32) + step_row
-        if quant:
+
+        if quant1:
             # dynamic symmetric per-tensor int8 for the conv input: one
             # VPU max-reduction (~0.4 µs at [944,384]) buys an int8 MXU
-            # matmul at 2x the bf16 rate
+            # matmul at 2x the bf16 rate. Finer activation scales measure
+            # NO accuracy gain: a per-row (per-time-step) variant for both
+            # matmuls reproduced the per-tensor chain's error to 6 digits
+            # (perf_int8_iso.py — the int8 error is entirely WEIGHT
+            # rounding) while costing +33 µs/step, so per-tensor stays.
             s_y = jnp.maximum(jnp.max(jnp.abs(y_f)), 1e-12) * (1.0 / 127.0)
             y_in = jnp.clip(jnp.rint(y_f * (1.0 / s_y)), -127.0, 127.0).astype(
                 jnp.int8
@@ -222,7 +238,7 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
         # ONE deep-K matmul for the whole dilated conv; bias pre-folded
         # into the conditioner block. f32 gates: bf16 transcendentals trip
         # a Mosaic lowering bug and measure ~2% anyway (perf_scan3).
-        if quant:
+        if quant1:
             acc = jnp.dot(y3_ref[:], w1_ref[0], preferred_element_type=jnp.int32)
             acc = acc.astype(jnp.float32) * (s_y * w1s_ref[0, 0])
         else:
@@ -230,14 +246,14 @@ def _make_kernel(t_len: int, c: int, n_layers: int, cycle: int,
         acc = acc + condb_ref[0, 0].astype(jnp.float32)
         gf = jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])
 
-        if quant:
+        if quant2:
             # the gate output is bounded in (-1, 1) — static 1/127 scale,
-            # no reduction needed
+            # no reduction needed (finer scales: no measured gain, above)
             gq = jnp.clip(jnp.rint(gf * 127.0), -127.0, 127.0).astype(jnp.int8)
             yo = jnp.dot(gq, wout_ref[0], preferred_element_type=jnp.int32)
             yo = yo.astype(jnp.float32) * (wouts_ref[0, 0] * (1.0 / 127.0))
         else:
-            g = gf.astype(h_ref.dtype)
+            g = gf.astype(wout_ref.dtype)
             yo = jnp.dot(g, wout_ref[0], preferred_element_type=jnp.float32)
         yo = yo + bout_ref[0, 0].astype(jnp.float32)
         h_ref[:] = ((h.astype(jnp.float32) + yo[:, :c]) * inv_sqrt2).astype(h_ref.dtype)
@@ -279,13 +295,14 @@ def _denoise_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     n_layers, cycle, c, n_mel, t_len = cfg_key
     m_pad = -(-n_mel // LANE) * LANE
-    quant = stacked.w1.dtype == jnp.int8
+    quant1 = stacked.w1.dtype == jnp.int8
+    quant2 = stacked.wout.dtype == jnp.int8
     dtype = stacked.wmel.dtype  # compute dtype (== w1.dtype unless int8)
     b = x.shape[0]
 
     xp = jnp.pad(x.astype(dtype), [(0, 0), (0, 0), (0, m_pad - n_mel)])  # [B, T, M_pad]
 
-    kernel = _make_kernel(t_len, c, n_layers, cycle, quant=quant)
+    kernel = _make_kernel(t_len, c, n_layers, cycle, quant1=quant1, quant2=quant2)
     grid = (b, n_layers)  # layer innermost: scratch carries across layers per clip
 
     def fixed(shape):
@@ -302,8 +319,10 @@ def _denoise_pallas(
             (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
         )
 
-    scale_specs = [per_layer((1, 2 * c))] * 2 if quant else []
-    scale_args = [stacked.w1s, stacked.wouts] if quant else []
+    scale_specs = [per_layer((1, 2 * c))] * (int(quant1) + int(quant2))
+    scale_args = ([stacked.w1s] if quant1 else []) + (
+        [stacked.wouts] if quant2 else []
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
@@ -371,11 +390,14 @@ def _ddpm_step_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     n_layers, cycle, c, n_mel, t_len = cfg_key
     m_pad = -(-n_mel // LANE) * LANE
-    quant = stacked.w1.dtype == jnp.int8
+    quant1 = stacked.w1.dtype == jnp.int8
+    quant2 = stacked.wout.dtype == jnp.int8
     dtype = stacked.wmel.dtype  # compute dtype (== w1.dtype unless int8)
     b = x.shape[0]
 
-    kernel = _make_kernel(t_len, c, n_layers, cycle, fused=True, quant=quant)
+    kernel = _make_kernel(
+        t_len, c, n_layers, cycle, fused=True, quant1=quant1, quant2=quant2
+    )
     grid = (b, n_layers)
 
     def fixed(shape):
@@ -391,8 +413,10 @@ def _ddpm_step_pallas(
             (1, *shape), lambda bi, l: (bi, *(0 for _ in shape)), memory_space=pltpu.VMEM
         )
 
-    scale_specs = [per_layer((1, 2 * c))] * 2 if quant else []
-    scale_args = [stacked.w1s, stacked.wouts] if quant else []
+    scale_specs = [per_layer((1, 2 * c))] * (int(quant1) + int(quant2))
+    scale_args = ([stacked.w1s] if quant1 else []) + (
+        [stacked.wouts] if quant2 else []
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t_len, m_pad), jnp.float32),
@@ -446,7 +470,8 @@ def _ddpm_step_pallas(
 
 
 def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
-                       interpret: bool = False, unroll: int = 8):
+                       interpret: bool = False, unroll: int = 8,
+                       stacked_fp=None, tail: int = 0):
     """Full ancestral DDPM reverse process with the sampler update fused
     into the denoiser kernel's epilogue.
 
@@ -457,6 +482,13 @@ def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
     the lane boundary and never materialises ε, x̂₀, or the posterior mean
     to HBM. Per-step schedule scalars ride a precomputed [steps, 5] table
     through the scan's xs.
+
+    ``stacked_fp`` + ``tail``: mixed-precision chain — the first
+    ``num_steps − tail`` steps run on ``stacked`` (int8) and the LAST
+    ``tail`` steps on ``stacked_fp`` (full compute dtype). The late steps
+    set the fine detail of the final mel, so a short full-precision tail
+    recovers most of the int8 weight-rounding error at ~tail/num_steps of
+    the bf16 cost (measured: perf_int8_iso.py / perf_int8.py).
     """
     from svc_inference_pipeline_tpu.sampling.ddpm import INIT_NOISE_STD
 
@@ -500,34 +532,56 @@ def _ddpm_sample_fused(stacked, condb, step_rows, key, shape, schedule, cfg_key,
         axis=1,
     ).astype(jnp.float32)  # [steps, 5]
 
-    def body(x, inp):
-        if predraw:
-            t, z, srow = inp
-        else:
-            t, k, srow = inp
-            z = jax.random.normal(k, tuple(shape), dtype=jnp.float32)  # same draw
-            z = jnp.pad(z, pad)
-        x = _ddpm_step_pallas(
-            stacked, condb, step_rows[t], x, z, srow, cfg_key, interpret
-        )
-        return x, None
+    def body_for(st):
+        def body(x, inp):
+            if predraw:
+                t, z, srow = inp
+            else:
+                t, k, srow = inp
+                z = jax.random.normal(k, tuple(shape), dtype=jnp.float32)  # same draw
+                z = jnp.pad(z, pad)
+            x = _ddpm_step_pallas(
+                st, condb, step_rows[t], x, z, srow, cfg_key, interpret
+            )
+            return x, None
 
-    unroll_eff = max(u for u in range(1, unroll + 1) if num_steps % u == 0)
+        return body
+
     xs = (ts, predrawn_zs if predraw else step_keys, rows)
-    x, _ = jax.lax.scan(body, x, xs, unroll=unroll_eff)
+    tail = int(min(max(tail, 0), num_steps)) if stacked_fp is not None else 0
+
+    def run_scan(st, x0, seg_xs, n):
+        unroll_eff = max(u for u in range(1, unroll + 1) if n % u == 0)
+        out, _ = jax.lax.scan(body_for(st), x0, seg_xs, unroll=unroll_eff)
+        return out
+
+    if tail == 0:
+        x = run_scan(stacked, x, xs, num_steps)
+    else:
+        split = num_steps - tail
+        if split > 0:
+            xs1 = jax.tree.map(lambda a: a[:split], xs)
+            x = run_scan(stacked, x, xs1, split)
+        xs2 = jax.tree.map(lambda a: a[split:], xs)
+        x = run_scan(stacked_fp, x, xs2, tail)
     return x[:, :, :n_mel]
 
 
 def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
                            compute_dtype=jnp.bfloat16, interpret: bool = False,
-                           quantize: str | None = None):
+                           quantize: str | None = None,
+                           quantize_tail: int = 0):
     """Sampler-compatible denoise_fn backed by the fused kernel.
 
     Falls back (by raising at build) if the shape restrictions don't hold.
     ``quantize="int8"`` runs the two hot per-layer matmuls on int8 MXU
     (per-output-channel weight scales, dynamic per-tensor activation
-    scale) — ~2x the bf16 MXU rate at a measured quality cost (opt-in;
-    see tests/test_int8_denoiser.py and perf_int8.py).
+    scale) — ~2x the bf16 MXU rate at a measured quality cost (see
+    tests/test_int8_denoiser.py and perf_int8.py). ``quantize_tail=K``
+    (DDPM fused path only) runs the LAST K reverse steps at the full
+    compute dtype — the int8 error is weight rounding that the late
+    steps largely repair (perf_int8_iso.py), so a short tail buys the
+    quality gate at ~K/num_steps of the bf16 cost.
     """
     c = cfg.residual_channels
     assert c % LANE == 0, c
@@ -535,6 +589,11 @@ def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
 
     pre = precompute(params, cond, num_steps, cfg, compute_dtype)
     stacked = stack_denoiser_params(params, cfg, compute_dtype, quantize=quantize)
+    stacked_fp = (
+        stack_denoiser_params(params, cfg, compute_dtype)
+        if quantize and quantize_tail > 0
+        else None
+    )
     # fold the dilated-conv bias into the conditioner block: one VMEM add
     # per layer instead of two; [L,B,T,2C] -> batch-major [B,L,T,2C]
     condb = (pre.cond_projs.astype(jnp.float32)
@@ -553,5 +612,6 @@ def make_pallas_denoise_fn(params: Any, cond: jnp.ndarray, num_steps: int, cfg,
     fn.fused_ddpm = functools.partial(
         _ddpm_sample_fused, stacked, condb, pre.step_rows,
         cfg_key=cfg_key, interpret=interpret,
+        stacked_fp=stacked_fp, tail=quantize_tail,
     )
     return fn

@@ -90,6 +90,11 @@ class SVCPipeline:
                     f"residual_layer_num={cfg.mapper.residual_layer_num}"
                 )
             if mesh is None:
+                if len(jax.devices()) < self._pp_stages:
+                    raise ValueError(
+                        f"pipeline_stages={self._pp_stages} needs at least "
+                        f"that many devices; found {len(jax.devices())}"
+                    )
                 from jax.sharding import Mesh
 
                 mesh = Mesh(
@@ -168,10 +173,16 @@ class SVCPipeline:
         # XLA fast-path fallback (non-divisible DP batches) runs at the
         # compute dtype instead, i.e. degrades UP in precision.
         self._denoiser_quantize = cfg.get("denoiser_quantize", None)
-        if self._denoiser_quantize not in (None, "int8"):
+        if self._denoiser_quantize not in (None, "int8", "int8-w1"):
             raise ValueError(
-                f"denoiser_quantize={self._denoiser_quantize!r}: use 'int8' or unset"
+                f"denoiser_quantize={self._denoiser_quantize!r}: use 'int8', "
+                "'int8-w1' (output projection stays at compute dtype) or unset"
             )
+        # DDPM-only: run the LAST K reverse steps at the compute dtype —
+        # the int8 error is weight rounding that the late steps repair
+        # (perf_int8_iso.py), so a short tail buys accuracy at ~K/steps
+        # of the bf16 cost
+        self._denoiser_quantize_tail = int(cfg.get("denoiser_quantize_tail", 0))
         if self._denoiser_quantize and not kernel_shapes_ok:
             raise ValueError(
                 "denoiser_quantize requires the fused Pallas denoiser "
@@ -186,6 +197,19 @@ class SVCPipeline:
         self._dp_pallas_denoiser = bool(
             kernel_shapes_ok and mesh is not None and not self.tp and self._dp_size > 1
         )
+        if self._denoiser_quantize and not (
+            self._use_pallas_denoiser or self._dp_pallas_denoiser
+        ):
+            # TP meshes and pipeline_stages>1 route the denoiser through the
+            # XLA/GPipe paths, which run at the compute dtype — quantization
+            # would be silently ignored and the user would benchmark/serve
+            # full precision believing it is int8
+            raise ValueError(
+                "denoiser_quantize is set but the selected denoiser path "
+                "cannot honor it: TP (model-axis) meshes and "
+                "pipeline_stages>1 use the XLA/GPipe denoisers. Unset "
+                "denoiser_quantize, or run single-device / data-only-mesh."
+            )
         if self.tp:
             from svc_inference_pipeline_tpu.parallel.sharding import (
                 MAPPER_TP_RULES,
@@ -296,21 +320,37 @@ class SVCPipeline:
             if str(whisper_ref) in WHISPER_URLS:
                 # registry name ("medium", …): resolve through the cached-
                 # download registry (reference __init__.py:33-64). When
-                # downloads are disabled and nothing is cached, fall back
-                # to random init (the documented no-checkpoint behaviour)
-                # — but LOUDLY: converted audio from random whisper
-                # weights is garbage and must not look like a model bug.
+                # downloads are disabled and nothing is cached, a
+                # production pipeline RAISES — converted audio from random
+                # whisper weights is garbage and must not look like a
+                # model bug. Smoke runs can opt into the fallback with
+                # cfg.allow_random_whisper or SVC_ALLOW_RANDOM_WHISPER=1
+                # (the random init then uses the CONFIGURED size so
+                # downstream dims match, not the whisper_size argument).
                 try:
                     whisper_ref = fetch_whisper_checkpoint(whisper_ref)
                 except FileNotFoundError as e:
+                    allow = bool(cfg.get("allow_random_whisper", False)) or (
+                        os.environ.get("SVC_ALLOW_RANDOM_WHISPER", "") == "1"
+                    )
+                    if not allow:
+                        raise FileNotFoundError(
+                            f"whisper checkpoint {whisper_ref!r} unavailable "
+                            f"({e}); set SVC_ALLOW_DOWNLOAD=1 to fetch it, "
+                            "point cfg.whisper_model at a local .pt, or opt "
+                            "into random weights for smoke runs with "
+                            "cfg.allow_random_whisper / "
+                            "SVC_ALLOW_RANDOM_WHISPER=1"
+                        ) from e
                     from svc_inference_pipeline_tpu.utils.observability import (
                         get_logger,
                     )
 
                     get_logger("svc_tpu.pipeline").warning(
                         "whisper checkpoint unavailable — falling back to "
-                        "RANDOM weights (%s)", e,
+                        "RANDOM weights at the configured size (%s)", e,
                     )
+                    whisper_size = str(cfg.whisper_model)
         if not random_weights and os.path.exists(str(whisper_ref)):
             whisper = WhisperPPGExtractor.from_torch_checkpoint(
                 whisper_ref, fs=cfg.fs, compute_dtype=whisper_dtype
@@ -432,7 +472,10 @@ class SVCPipeline:
                     make_pallas_denoise_fn as make_denoise_fn,
                 )
 
-                extra = {"quantize": self._denoiser_quantize}
+                extra = {
+                    "quantize": self._denoiser_quantize,
+                    "quantize_tail": self._denoiser_quantize_tail,
+                }
             else:
                 from svc_inference_pipeline_tpu.models.diffsvc_fast import (
                     make_fast_denoise_fn as make_denoise_fn,
@@ -544,6 +587,7 @@ class SVCPipeline:
                 self.cfg.mapper,
                 compute_dtype=self.denoiser.compute_dtype or jnp.float32,
                 quantize=self._denoiser_quantize,
+                quantize_tail=self._denoiser_quantize_tail,
             )
             return self._run_sampler(
                 fn, cond_l, k, (cond_l.shape[0], n_frames, n_mel), sampler, speedup
