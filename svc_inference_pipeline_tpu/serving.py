@@ -37,6 +37,14 @@ import numpy as np
 ALLOWED_SPEEDUPS = frozenset({1, 2, 5, 10, 20, 50, 100})
 
 
+class ServerOverloaded(RuntimeError):
+    """Request shed: the queue (or stream slots) is at capacity.
+
+    Mapped to HTTP 503 + Retry-After by the handler — under sustained
+    overload the server sheds instead of piling requests up against the
+    600 s request timeout."""
+
+
 class _Request:
     __slots__ = ("audio", "singer", "sampler", "speedup", "frames",
                  "event", "result", "error")
@@ -75,29 +83,42 @@ class SVCServer:
     #: call — a belt against any path that could strand the completion event
     REQUEST_TIMEOUT_S = 600.0
 
-    def __init__(self, pipeline, cfg, coalesce_ms: float = 25.0, max_batch: int = 8):
+    #: grace window for queued work after close() before it is failed
+    DRAIN_DEADLINE_S = 30.0
+
+    def __init__(self, pipeline, cfg, coalesce_ms: float = 25.0, max_batch: int = 8,
+                 max_queue: int = 32, max_streams: int = 4):
         self.pipeline = pipeline
         self.cfg = cfg
         self.started = time.time()
         self.conversions = 0
         self.batches = 0
         self.batch_failures = 0
+        self.sheds = 0
         self.coalesce_ms = coalesce_ms
         self.max_batch = max_batch
+        self.max_queue = max_queue
+        self.max_streams = max_streams
+        self._streams = 0
         self.closed = False
+        self._drain_deadline = None
         # one TPU job at a time: the coalescing worker and every streaming
         # handler thread contend for the device through this lock
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
-        self.queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # BOUNDED: at capacity, convert_bytes sheds with 503 instead of
+        # queueing another 10-minute wait nobody will collect
+        self.queue: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
         self.worker = threading.Thread(target=self._worker, daemon=True)
         self.worker.start()
 
-    def _count(self, conversions: int = 0, batches: int = 0, batch_failures: int = 0) -> None:
+    def _count(self, conversions: int = 0, batches: int = 0,
+               batch_failures: int = 0, sheds: int = 0) -> None:
         with self._stats_lock:
             self.conversions += conversions
             self.batches += batches
             self.batch_failures += batch_failures
+            self.sheds += sheds
 
     # -- coalescing worker -------------------------------------------------
 
@@ -128,8 +149,11 @@ class SVCServer:
                 return
 
     def _drain(self) -> None:
-        """Fail every request still queued at shutdown (never strand a
-        waiter: each gets its error set and its event fired)."""
+        """Shutdown drain: requests already queued when close() landed
+        still get converted while the drain deadline holds; past it,
+        the rest fail fast (never strand a waiter: each gets its error
+        set and its event fired)."""
+        deadline = self._drain_deadline or time.time()
         while True:
             try:
                 req = self.queue.get_nowait()
@@ -137,8 +161,11 @@ class SVCServer:
                 return
             if req is None:
                 continue
-            req.error = RuntimeError("server closed")
-            req.event.set()
+            if time.time() < deadline:
+                self._run([req])
+            else:
+                req.error = RuntimeError("server closed")
+                req.event.set()
 
     def _run(self, batch) -> None:
         # a coalesced batch can mix per-request sampler overrides and clip
@@ -196,8 +223,11 @@ class SVCServer:
             for r in batch:
                 r.event.set()
 
-    def close(self) -> None:
+    def close(self, drain_s: Optional[float] = None) -> None:
         self.closed = True
+        self._drain_deadline = time.time() + (
+            self.DRAIN_DEADLINE_S if drain_s is None else drain_s
+        )
         self.queue.put(None)
 
     # -- request entry -----------------------------------------------------
@@ -219,7 +249,13 @@ class SVCServer:
         audio = np.asarray(audio)
         req = _Request(audio, singer, sampler=sampler, speedup=speedup,
                        frames=self.pipeline.mel_frame_count(len(audio)))
-        self.queue.put(req)
+        try:
+            self.queue.put_nowait(req)
+        except queue.Full:
+            self._count(sheds=1)
+            raise ServerOverloaded(
+                f"queue at capacity ({self.max_queue} pending) — retry later"
+            ) from None
         # close() may have landed between the check and the put — the worker
         # could already have drained and exited, stranding req until the
         # 600 s timeout. Re-check and fail fast (event.set is idempotent, so
@@ -254,27 +290,39 @@ class SVCServer:
         from svc_inference_pipeline_tpu.utils.registry import get_singer_id
 
         get_singer_id(self.cfg, singer)  # KeyError → 400 before streaming
-        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            f.write(wav_bytes)
-            f.flush()
-            audio, _ = load_audio(f.name, self.cfg.fs)
+        with self._stats_lock:
+            if self._streams >= self.max_streams:
+                self.sheds += 1
+                raise ServerOverloaded(
+                    f"{self.max_streams} concurrent streams already open — "
+                    "retry later"
+                )
+            self._streams += 1
+        try:
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(wav_bytes)
+                f.flush()
+                audio, _ = load_audio(f.name, self.cfg.fs)
 
-        gen = self.pipeline.convert_streaming(
-            np.asarray(audio), singer, chunk_seconds=chunk_seconds,
-            sampler=sampler, speedup=speedup,
-        )
-        while True:
-            # the device work happens lazily inside next(): hold the lock
-            # only for the duration of one chunk, then yield it to the
-            # client while other work can take the device
-            with self._device_lock:
-                try:
-                    piece = next(gen)
-                except StopIteration:
-                    return
-            self._count(conversions=1)
-            pcm = np.clip(np.round(np.asarray(piece) * 32767.0), -32768, 32767)
-            yield pcm.astype("<i2").tobytes()
+            gen = self.pipeline.convert_streaming(
+                np.asarray(audio), singer, chunk_seconds=chunk_seconds,
+                sampler=sampler, speedup=speedup,
+            )
+            while True:
+                # the device work happens lazily inside next(): hold the lock
+                # only for the duration of one chunk, then yield it to the
+                # client while other work can take the device
+                with self._device_lock:
+                    try:
+                        piece = next(gen)
+                    except StopIteration:
+                        return
+                self._count(conversions=1)
+                pcm = np.clip(np.round(np.asarray(piece) * 32767.0), -32768, 32767)
+                yield pcm.astype("<i2").tobytes()
+        finally:
+            with self._stats_lock:
+                self._streams -= 1
 
     def handler_class(self):
         server = self
@@ -290,11 +338,13 @@ class SVCServer:
 
                 get_logger("svc_tpu.serving").info(fmt, *args)
 
-            def _json(self, code: int, obj) -> None:
+            def _json(self, code: int, obj, retry_after: Optional[int] = None) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if retry_after is not None:
+                    self.send_header("Retry-After", str(retry_after))
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -322,6 +372,10 @@ class SVCServer:
                             server.conversions / server.batches
                             if server.batches else 0.0
                         ),
+                        "queue_depth": server.queue.qsize(),
+                        "max_queue": server.max_queue,
+                        "sheds": server.sheds,
+                        "streams": server._streams,
                     }
                     self._json(200, m)
                 else:
@@ -372,6 +426,9 @@ class SVCServer:
                     except KeyError as e:
                         self._json(400, {"error": str(e)})
                         return
+                    except ServerOverloaded as e:
+                        self._json(503, {"error": str(e)}, retry_after=5)
+                        return
                     except Exception as e:  # noqa: BLE001
                         self._json(500, {"error": f"{type(e).__name__}: {e}"})
                         return
@@ -400,6 +457,9 @@ class SVCServer:
                 except KeyError as e:
                     self._json(400, {"error": str(e)})
                     return
+                except ServerOverloaded as e:
+                    self._json(503, {"error": str(e)}, retry_after=5)
+                    return
                 except Exception as e:  # noqa: BLE001 — surface to client
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
@@ -413,8 +473,10 @@ class SVCServer:
 
 
 def serve(cfg, pipeline, host: str = "127.0.0.1", port: int = 8787,
-          coalesce_ms: float = 25.0, max_batch: int = 8) -> ThreadingHTTPServer:
-    server = SVCServer(pipeline, cfg, coalesce_ms=coalesce_ms, max_batch=max_batch)
+          coalesce_ms: float = 25.0, max_batch: int = 8,
+          max_queue: int = 32, max_streams: int = 4) -> ThreadingHTTPServer:
+    server = SVCServer(pipeline, cfg, coalesce_ms=coalesce_ms, max_batch=max_batch,
+                       max_queue=max_queue, max_streams=max_streams)
     httpd = ThreadingHTTPServer((host, port), server.handler_class())
     httpd.svc = server  # for tests
     return httpd
@@ -430,8 +492,14 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--sampler", choices=["ddpm", "plms", "ddim", "dpmpp"],
                    default=None, help="override cfg.mapper.sampler")
     p.add_argument("--speedup", type=int, default=None, help="fast-sampler stride")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="int8 denoiser matmuls (2x MXU rate, small accuracy trade)")
+    p.add_argument("--quantize", choices=["int8", "int8-w1"], default=None,
+                   help="int8 denoiser matmuls (2x MXU rate, small accuracy "
+                        "trade; int8-w1 keeps the output projection at the "
+                        "compute dtype — most of the speed, ~1/3 the error)")
+    p.add_argument("--max-queue", type=int, default=32,
+                   help="pending-request cap; beyond it requests shed with 503")
+    p.add_argument("--max-streams", type=int, default=4,
+                   help="concurrent streaming-response cap (503 beyond)")
     args = p.parse_args(argv)
 
     from svc_inference_pipeline_tpu.config import load_config
@@ -445,7 +513,8 @@ def main(argv: Optional[list] = None) -> int:
     )
     if args.sampler or args.speedup is not None:
         pipeline.set_sampler(args.sampler or pipeline.sampler, speedup=args.speedup)
-    httpd = serve(cfg, pipeline, args.host, args.port)
+    httpd = serve(cfg, pipeline, args.host, args.port,
+                  max_queue=args.max_queue, max_streams=args.max_streams)
     print(f"serving on {args.host}:{args.port}")
     httpd.serve_forever()
     return 0
