@@ -47,6 +47,13 @@ def test_pipeline_loads_torch_checkpoints(small_cfg, checkpoint_files, test_wav)
     mapper_path, vocoder_path, ref_mapper, ref_gen = checkpoint_files
     cfg = small_cfg.replace(svc_model_path=mapper_path, vocoder_model_path=vocoder_path)
 
+    # without the explicit opt-in, a production pipeline must REFUSE to run
+    # on random whisper weights (silent-garbage guard, ADVICE r4)
+    with pytest.raises(FileNotFoundError, match="whisper checkpoint"):
+        SVCPipeline.from_config(cfg, random_weights=False, whisper_size="tiny")
+
+    # opted in: the fallback random-inits at the CONFIGURED size (tiny here)
+    cfg = cfg.replace(allow_random_whisper=True, whisper_model="tiny")
     pipe = SVCPipeline.from_config(cfg, random_weights=False, whisper_size="tiny")
     # whisper falls back to random (no 769M checkpoint in env) but mapper +
     # vocoder must be the converted torch weights: check one tensor exactly
