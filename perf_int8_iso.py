@@ -29,8 +29,12 @@ from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
 from svc_inference_pipeline_tpu.utils.devices import fast_random_params
 
 
-def dequant_params(params, L, names=("dilated_conv", "output_projection")):
-    """Round-trip the chosen hot matmul weights through int8 (f32 storage)."""
+def dequant_params(params, L, names=("dilated_conv", "output_projection"),
+                   cols=None):
+    """Round-trip the chosen hot matmul weights through int8 (f32 storage).
+
+    ``cols=(lo_frac, hi_frac)`` restricts the rounding to that fraction of
+    output columns (e.g. (0, 0.5) = wout's residual half only)."""
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy of leaves
     out = jax.device_get(out)
     for i in range(L):
@@ -40,6 +44,13 @@ def dequant_params(params, L, names=("dilated_conv", "output_projection")):
             w2 = w.reshape(-1, shp[-1])
             q, s = _quantize_cols(jnp.asarray(w2))
             deq = (np.asarray(q, np.float32) * np.asarray(s)).reshape(shp)
+            if cols is not None:
+                n = shp[-1]
+                lo, hi = int(cols[0] * n), int(cols[1] * n)
+                keep = np.asarray(out[f"residual_{i}"][name]["kernel"], np.float32)
+                deq = keep.copy()
+                full = (np.asarray(q, np.float32) * np.asarray(s)).reshape(shp)
+                deq[..., lo:hi] = full[..., lo:hi]
             out[f"residual_{i}"][name]["kernel"] = jnp.asarray(deq)
     return out
 
@@ -98,6 +109,12 @@ def main():
     report("wout-only",
            run(dequant_params(params, L, ("output_projection",)), None))
     report("int8-w1", run(params, "int8-w1"))
+    report("wout-res½",
+           run(dequant_params(params, L, ("output_projection",), cols=(0, 0.5)),
+               None))
+    report("wout-skip½",
+           run(dequant_params(params, L, ("output_projection",), cols=(0.5, 1.0)),
+               None))
     for tail in (steps // 20, steps // 10, steps // 4):
         report(f"tail-{tail}", run(params, "int8", tail=tail))
         report(f"w1+tail-{tail}", run(params, "int8-w1", tail=tail))

@@ -142,3 +142,81 @@ def test_int8_batched(setup):
     assert got.shape == ref.shape == (b, t, 100)
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, f"batched int8 rel err {rel}"
+
+
+def test_int8_w1_stacked_layout(setup):
+    """int8-w1: w1 int8 + scales, wout at the compute dtype, no wout scales."""
+    mcfg, params, _x, _cond = setup
+    st = stack_denoiser_params(params, mcfg, jnp.bfloat16, quantize="int8-w1")
+    assert st.w1.dtype == jnp.int8 and st.w1s is not None
+    assert st.wout.dtype == jnp.bfloat16 and st.wouts is None
+
+
+def test_int8_w1_quality_gate(setup):
+    """The QUALITY GATE for the qualified int8 mode (VERDICT r4 #2):
+    int8-w1 (dilated conv int8, output projection at compute dtype) must
+    keep the full DDPM chain's final mel at corr >= 0.9999 vs the f32
+    chain. Measured on this shape: 0.999992 (production shape: 0.999928 —
+    BENCH_NOTES round-5 table); full int8 fails this gate (0.99981)."""
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, x, cond = setup
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 100])
+    ref_fn = make_pallas_denoise_fn(
+        params, cond, 100, mcfg, compute_dtype=jnp.float32, interpret=True
+    )
+    q_fn = make_pallas_denoise_fn(
+        params, cond, 100, mcfg, compute_dtype=jnp.float32, interpret=True,
+        quantize="int8-w1",
+    )
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(ref_fn.fused_ddpm(key, x.shape, sched))
+    got = np.asarray(q_fn.fused_ddpm(key, x.shape, sched))
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr >= 0.9999, f"int8-w1 gate: final-mel corr {corr:.6f} < 0.9999"
+
+
+def test_quantize_tail_full_equals_unquantized(setup):
+    """tail == num_steps routes EVERY step through the full-precision
+    stack — the chain must be bit-identical to quantize=None (same keys,
+    same kernel, same weights)."""
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, x, cond = setup
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 10])
+    ref_fn = make_pallas_denoise_fn(
+        params, cond, 10, mcfg, compute_dtype=jnp.float32, interpret=True
+    )
+    q_fn = make_pallas_denoise_fn(
+        params, cond, 10, mcfg, compute_dtype=jnp.float32, interpret=True,
+        quantize="int8", quantize_tail=10,
+    )
+    key = jax.random.PRNGKey(5)
+    ref = np.asarray(ref_fn.fused_ddpm(key, x.shape, sched))
+    got = np.asarray(q_fn.fused_ddpm(key, x.shape, sched))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_quantize_tail_interpolates(setup):
+    """A partial tail lands strictly between full int8 and full precision
+    (error decreases monotonically as the tail grows)."""
+    from svc_inference_pipeline_tpu.sampling.schedule import DiffusionSchedule
+
+    mcfg, params, x, cond = setup
+    sched = DiffusionSchedule.from_factors([0.0001, 0.02, 20])
+    key = jax.random.PRNGKey(11)
+
+    def run(quantize, tail=0):
+        fn = make_pallas_denoise_fn(
+            params, cond, 20, mcfg, compute_dtype=jnp.float32, interpret=True,
+            quantize=quantize, quantize_tail=tail,
+        )
+        return np.asarray(fn.fused_ddpm(key, x.shape, sched))
+
+    ref = run(None)
+    errs = [
+        float(np.sqrt(np.mean((run("int8", tail=k) - ref) ** 2)))
+        for k in (0, 5, 20)
+    ]
+    assert errs[2] == 0.0
+    assert errs[1] < errs[0], f"tail must reduce error: {errs}"
