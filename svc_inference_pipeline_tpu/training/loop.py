@@ -74,9 +74,16 @@ def train_diffusion(
     if mesh is not None:
         state = step_fn.shard_state(state)
 
+    from svc_inference_pipeline_tpu.training.elastic import fault_hook, heartbeat
+
     bad_streak = 0
     it = iter(loader)
     for step in range(start_step, num_steps):
+        # env-driven fault injection (SVC_FAULT_INJECT) + supervisor
+        # heartbeat (SVC_HEARTBEAT_DIR) — both no-ops in production runs
+        injected = fault_hook(step)
+        heartbeat(step)
+
         try:
             batch = next(it)
         except StopIteration:
@@ -84,6 +91,9 @@ def train_diffusion(
             batch = next(it)
 
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "wave"}
+        if injected == "nan":
+            arrays = {k: jnp.full_like(v, jnp.nan) if k == "mel" else v
+                      for k, v in arrays.items()}
         if mesh is not None:
             arrays = step_fn.batch_shard(arrays)
 
