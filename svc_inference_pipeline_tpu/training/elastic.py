@@ -36,7 +36,6 @@ Liveness, restarts, and fault events are logged through
 from __future__ import annotations
 
 import os
-import signal
 import socket
 import subprocess
 import sys
