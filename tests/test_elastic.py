@@ -206,3 +206,80 @@ def test_elastic_training_resumes_from_checkpoint(tmp_path):
     # the resumed attempt's log shows the checkpoint restore
     log1 = (tmp_path / "logs" / "worker0_a1.log").read_text()
     assert "resumed from step" in log1
+
+
+# ------------------------------------- real jax.distributed gang recovery
+
+# The claim the gang-restart design rests on: a dead worker WEDGES the
+# survivors inside their next collective (no shrink), so recovery must
+# reap the whole gang and relaunch it. Two real processes rendezvous via
+# jax.distributed, psum once per step, and checkpoint through process 0;
+# worker 1 is killed at step 5 on attempt 0, leaving worker 0 blocked in
+# the step-5 psum — the supervisor must SIGTERM/SIGKILL it, relaunch on a
+# fresh coordinator port, and both workers must resume at step 5 and
+# finish in lockstep.
+_DIST_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # axon boot hook override
+
+    from svc_inference_pipeline_tpu.parallel import distributed
+    from svc_inference_pipeline_tpu.training.elastic import fault_hook, heartbeat
+
+    assert distributed.ensure_initialized()
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+        shard_map = partial(_sm, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = partial(_sm, check_rep=False)
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("data",))
+    n = len(devs)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+    def total(x):
+        return jax.lax.psum(jnp.sum(x), "data")
+
+    sharding = NamedSharding(mesh, P("data"))
+    ckpt = sys.argv[1]  # process-0-owned global checkpoint (step counter)
+    start = int(open(ckpt).read()) if os.path.exists(ckpt) else 0
+    pid = jax.process_index()
+    for step in range(start, 8):
+        fault_hook(step)
+        heartbeat(step)
+        host = np.full((n * 2,), float(step + 1), dtype=np.float32)
+        garr = jax.make_array_from_callback((n * 2,), sharding, lambda idx: host[idx])
+        got = float(total(garr))          # cross-process collective
+        assert got == (step + 1) * n * 2, (got, step)
+        if pid == 0:
+            with open(ckpt, "w") as f:
+                f.write(str(step + 1))
+    print("DIST_ELASTIC_OK", pid, flush=True)
+""").format(repo=REPO)
+
+
+def test_elastic_recovers_real_distributed_gang(tmp_path):
+    script = tmp_path / "dist_worker.py"
+    script.write_text(_DIST_WORKER)
+    res = run_elastic(
+        [sys.executable, str(script), str(tmp_path / "ckpt")],
+        num_workers=2, max_restarts=1,
+        extra_env={"SVC_FAULT_INJECT": "die@5:p1:a0",
+                   "XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        log_dir=str(tmp_path / "logs"), grace_period=10.0,
+    )
+    assert res.restarts == 1
+    assert 13 in res.attempts[0]["exit_codes"]          # the injected kill
+    assert res.attempts[1]["exit_codes"] == [0, 0]
+    assert (tmp_path / "ckpt").read_text() == "8"
+    for wid in range(2):
+        log1 = (tmp_path / "logs" / f"worker{wid}_a1.log").read_text()
+        assert f"DIST_ELASTIC_OK {wid}" in log1
