@@ -246,6 +246,14 @@ def get_f0_features(
             "its trained checkpoint (see ops/f0_crepe.py) and is called "
             "via get_f0_features_using_crepe."
         )
+    if mel_len < 1 or len(np.asarray(audio)) < 1:
+        # degenerate clip (shorter than one hop): fail with a clear message
+        # instead of a zero-size reduction deep inside f0_to_coarse
+        raise ValueError(
+            f"clip too short for F0 extraction: {len(np.asarray(audio))} "
+            f"samples -> {mel_len} mel frames (need at least one hop of "
+            f"{getattr(cfg, 'hop_length', '?')} samples)"
+        )
     hop_size = int(np.round(cfg.hop_length * speed))
     if method == "harvest":
         f0 = get_f0_features_using_harvest(

@@ -247,8 +247,14 @@ class SVCServer:
         if self.closed:
             raise RuntimeError("server closed")
         audio = np.asarray(audio)
+        frames = self.pipeline.mel_frame_count(len(audio))
+        if frames < 1:
+            raise ValueError(  # client error → 400, like an unknown singer
+                f"clip too short: {len(audio)} samples is less than one mel "
+                f"hop ({self.cfg.hop_length} samples)"
+            )
         req = _Request(audio, singer, sampler=sampler, speedup=speedup,
-                       frames=self.pipeline.mel_frame_count(len(audio)))
+                       frames=frames)
         try:
             self.queue.put_nowait(req)
         except queue.Full:
@@ -304,6 +310,11 @@ class SVCServer:
                 f.flush()
                 audio, _ = load_audio(f.name, self.cfg.fs)
 
+            if self.pipeline.mel_frame_count(len(np.asarray(audio))) < 1:
+                raise ValueError(
+                    f"clip too short: {len(np.asarray(audio))} samples is "
+                    f"less than one mel hop ({self.cfg.hop_length} samples)"
+                )
             gen = self.pipeline.convert_streaming(
                 np.asarray(audio), singer, chunk_seconds=chunk_seconds,
                 sampler=sampler, speedup=speedup,
@@ -423,7 +434,7 @@ class SVCServer:
                                                         sampler=sampler,
                                                         speedup=speedup)
                         first = next(gen)  # raise before headers if broken
-                    except KeyError as e:
+                    except (KeyError, ValueError) as e:
                         self._json(400, {"error": str(e)})
                         return
                     except ServerOverloaded as e:
@@ -454,7 +465,7 @@ class SVCServer:
                 try:
                     out = server.convert_bytes(body, singer, sampler=sampler,
                                                speedup=speedup)
-                except KeyError as e:
+                except (KeyError, ValueError) as e:
                     self._json(400, {"error": str(e)})
                     return
                 except ServerOverloaded as e:

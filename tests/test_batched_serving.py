@@ -188,23 +188,56 @@ def test_single_request_batch_failure_fails_fast(pipe, monkeypatch):
 
 
 def test_closed_server_rejects_and_drains(pipe):
-    """After close(): new requests fail immediately; nothing is stranded."""
+    """After close(): new requests fail immediately; a queued request past
+    the drain deadline fails fast — its waiter gets an error + event,
+    never a hang."""
     from svc_inference_pipeline_tpu.serving import SVCServer, _Request
 
     server = SVCServer(pipe, pipe.cfg, coalesce_ms=1.0, max_batch=2)
-    server.close()
+    server.close(drain_s=0)  # deadline already past: fail-fast drain
     server.worker.join(timeout=30)
     assert not server.worker.is_alive()
     # new requests are rejected up front once closed
     with pytest.raises(RuntimeError, match="closed"):
         server.convert_bytes(_wav_bytes(_tone(220.0, 0.2)), "svcc_CDF1")
-    # a request that slipped into the queue around shutdown is failed by
-    # the drain — its waiter gets an error + event, never a hang
+    # a request that slipped into the queue around shutdown
     stranded = _Request(np.zeros(4, np.float32), "svcc_CDF1")
     server.queue.put(stranded)
     server._drain()
     assert stranded.event.is_set()
     assert isinstance(stranded.error, RuntimeError)
+
+
+def test_drain_deadline_still_converts(pipe):
+    """A request already queued when close() lands still CONVERTS while
+    the drain deadline holds (VERDICT r4 #4: drain-on-shutdown deadline)."""
+    from svc_inference_pipeline_tpu.serving import SVCServer, _Request
+
+    server = SVCServer(pipe, pipe.cfg, coalesce_ms=1.0, max_batch=2)
+    server.close(drain_s=120.0)
+    server.worker.join(timeout=30)
+    audio = _tone(220.0, 0.3)
+    late = _Request(audio, "svcc_CDF1",
+                    frames=pipe.mel_frame_count(len(audio)))
+    server.queue.put(late)
+    server._drain()
+    assert late.event.is_set()
+    assert late.error is None
+    assert late.result is not None and len(np.asarray(late.result)) > 0
+
+
+def test_degenerate_clip_rejected_up_front(pipe):
+    """A clip shorter than one mel hop is a 400-class client error at the
+    door — not a zero-size-reduction crash deep inside F0 extraction."""
+    from svc_inference_pipeline_tpu.serving import SVCServer
+
+    server = SVCServer(pipe, pipe.cfg, coalesce_ms=1.0, max_batch=2)
+    try:
+        with pytest.raises(ValueError, match="too short"):
+            server.convert_bytes(_wav_bytes(np.zeros(4, np.float32)), "svcc_CDF1")
+    finally:
+        server.close(drain_s=0)
+        server.worker.join(timeout=30)
 
 
 def test_length_class_bounds_padding_inflation():

@@ -94,6 +94,15 @@ def test_no_octave_errors_on_missing_fundamental():
     assert np.median(err) < 20, f"median {np.median(err):.1f} cents (octave error?)"
 
 
+def test_get_f0_features_rejects_degenerate_clip():
+    """A clip shorter than one hop fails with a clear message, not a
+    zero-size reduction inside f0_to_coarse."""
+    import pytest
+
+    with pytest.raises(ValueError, match="too short"):
+        get_f0_features(np.zeros(4, np.float32), 0, _Cfg)
+
+
 def test_get_f0_features_pads_to_mel_len():
     x = _harmonic(220.0, dur=1.0)
     mel_len = len(x) // HOP + 1
