@@ -23,7 +23,13 @@ before the single line-190 emit): the headline now goes out after ONE
 timed run — nothing after warm-up can zero the record — and every extra
 stage that could trigger a fresh remote compile (fast samplers, quantize
 variants, batch throughput) is budget-gated via ``BENCH_BUDGET`` seconds
-(default 700) and re-emits the scoreboard as soon as it lands.
+(default 2200), runs under a HARD per-extra wall cap
+(``BENCH_EXTRA_TIMEOUT``, default 900 s — a wedged remote-compile
+service hangs fresh compiles forever and try/except can't catch that),
+and re-emits the scoreboard as soon as it lands. Extras run in value
+order (vocoder, full-precision counterpart, batched throughput, then
+the sampler-comparison rows) so a straggler only ever costs the tail.
+``BENCH_SAMPLERS`` (default "plms,ddim,dpmpp") picks the sampler rows.
 
 BENCH_QUANTIZE overrides the headline denoiser quantize mode
 (default int8-w1 — the mode that passes the final-mel corr >= 0.9999
@@ -34,6 +40,7 @@ reported alongside as bf16_ddpm1000_rtf either way).
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -90,8 +97,43 @@ def _profiled_device_ms(run_fn) -> float:
         shutil.rmtree(trace_dir, ignore_errors=True)
 
 
+def run_extra(label: str, seconds: float, fn):
+    """Run one budget-gated extra with a HARD wall-clock cap.
+
+    A sick remote-compile service can HANG a fresh compile indefinitely
+    (observed: tpu_compile_helper SIGKILL → subsequent compiles block
+    forever) — a plain try/except can't save the run from that. Each
+    extra therefore runs on a daemon thread: on timeout it is abandoned
+    (the thread may finish later or never; it holds no locks the main
+    path needs) and the scoreboard moves on. Returns True when the extra
+    completed, False on timeout or error."""
+    out = {}
+
+    def tgt():
+        try:
+            out["r"] = fn()
+        except Exception as e:  # noqa: BLE001 — extras never kill the record
+            out["e"] = e
+
+    th = threading.Thread(target=tgt, daemon=True, name=f"extra-{label}")
+    th.start()
+    th.join(seconds)
+    if th.is_alive():
+        log(f"{label}: no result after {seconds:.0f}s — abandoned (likely a "
+            "wedged remote compile); scoreboard continues without it")
+        return False
+    if "e" in out:
+        log(f"{label} failed: {out['e']}")
+        return False
+    return True
+
+
 def main():
-    budget = float(os.environ.get("BENCH_BUDGET", 700))
+    # extras' hard per-stage caps (run_extra) are the timeout defense now;
+    # the budget just bounds how much tail the scoreboard chases
+    budget = float(os.environ.get("BENCH_BUDGET", 2200))
+    # hard per-extra wall cap (compile hangs can't stall the scoreboard)
+    extra_timeout = float(os.environ.get("BENCH_EXTRA_TIMEOUT", 900))
     headline_quant = os.environ.get("BENCH_QUANTIZE", "int8-w1")
     if headline_quant.lower() in ("none", "", "bf16", "off"):
         headline_quant = None
@@ -243,7 +285,7 @@ def main():
     # One extra executable (vocoder-only jit) — budget-gated like every
     # stage below that can trigger a fresh remote compile.
     if elapsed() < budget:
-        try:
+        def voc_extra():
             voc_fn = jax.jit(
                 lambda vp, mel: pipe.vocoder.apply({"params": vp}, mel)
             )
@@ -265,9 +307,9 @@ def main():
             metrics["bigvgan_rtf"] = voc_s / (padded * cfg.hop_length / fs)
             log(f"bigvgan mel→wave: {voc_s*1e3:.1f} ms for {padded * cfg.hop_length} samples "
                 f"→ {sps/1e6:.2f} Msamples/s ({sps/fs:.0f}x realtime)")
+
+        if run_extra("vocoder throughput", extra_timeout, voc_extra):
             emit()
-        except Exception as e:  # auxiliary — never lose the headline
-            log(f"vocoder throughput unavailable: {e}")
     else:
         log(f"skipping vocoder throughput: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
 
@@ -278,7 +320,9 @@ def main():
     alt_tag = "bf16" if alt_quant is None else alt_quant.replace("-", "")
     pipe_fp = pipe if headline_quant is None else None
     if elapsed() < budget:
-        try:
+        alt_box = {}
+
+        def alt_extra():
             cfg.denoiser_quantize = alt_quant
             apipe = SVCPipeline.from_config(
                 cfg, random_weights=True, whisper_size="medium", bucket=16
@@ -295,42 +339,15 @@ def main():
             a_rtf = float(np.median(a_times) / duration)
             metrics[f"{alt_tag}_ddpm1000_rtf"] = a_rtf
             log(f"{alt_tag} DDPM-1000 e2e RTF: {a_rtf:.4f} (vs_baseline {0.05 / a_rtf:.2f})")
+            alt_box["pipe"] = apipe
+
+        # the alt build pays a full model conversion on top of any compile
+        if run_extra(f"{alt_tag} extra", extra_timeout + 600, alt_extra):
             emit()
             if alt_quant is None:
-                pipe_fp = apipe  # full-precision pipe for the sampler/batch rows
-        except Exception as e:
-            log(f"{alt_tag} extra failed: {e}")
+                pipe_fp = alt_box["pipe"]  # full-precision pipe for sampler/batch rows
     else:
         log(f"skipping {alt_tag} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
-
-    # ---- fast samplers: plms/ddim/dpmpp @ speedup 10 on the FULL-PRECISION
-    # pipeline (comparable across rounds; separate executables, each gated
-    # so a fresh remote compile can't overrun the driver timeout)
-    if pipe_fp is not None:
-        for sampler in ("plms", "ddim", "dpmpp"):
-            if elapsed() > budget:
-                log(f"skipping {sampler} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
-                continue
-            try:
-                t0 = time.time()
-                pipe_fp.convert(audio, "svcc_CDF1", key=key, pcm16=True,
-                                upload_pcm16=True, sampler=sampler, speedup=10)
-                log(f"{sampler} compile+warm-up: {time.time() - t0:.1f}s  (elapsed {elapsed():.0f}s)")
-                s_times = []
-                for i in range(5):
-                    t0 = time.time()
-                    pipe_fp.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i),
-                                    pcm16=True, upload_pcm16=True,
-                                    sampler=sampler, speedup=10)
-                    s_times.append(time.time() - t0)
-                s_rtf = float(np.median(s_times) / duration)
-                metrics[f"{sampler}10_rtf"] = s_rtf
-                log(f"{sampler}@10 e2e RTF: {s_rtf:.4f} (vs_baseline {0.05 / s_rtf:.2f})")
-                emit()
-            except Exception as e:
-                log(f"{sampler} extra failed: {e}")
-    else:
-        log("skipping sampler extras: no full-precision pipeline available")
 
     # ---- batched serving throughput (clips/sec on the PLMS@10 serving
     # path — the number that justifies the DP/serving layer; the reference
@@ -341,7 +358,8 @@ def main():
             if elapsed() > budget:
                 log(f"skipping batch{b} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
                 continue
-            try:
+
+            def batch_extra(b=b):
                 clips = [audio] * b
                 names = (singers * ((b + 3) // 4))[:b]
                 t0 = time.time()
@@ -359,9 +377,41 @@ def main():
                 metrics[f"batch{b}_clips_per_sec"] = b / b_s
                 log(f"batch{b} plms@10: {b_s*1e3:.0f} ms/batch → {b / b_s:.2f} clips/s "
                     f"({b * duration / b_s:.1f}x realtime aggregate)")
+
+            if run_extra(f"batch{b} extra", extra_timeout, batch_extra):
                 emit()
-            except Exception as e:
-                log(f"batch{b} extra failed: {e}")
+
+    # ---- fast samplers: plms/ddim/dpmpp @ speedup 10 on the FULL-PRECISION
+    # pipeline (comparable across rounds; separate executables, each gated
+    # so a fresh remote compile can't overrun the driver timeout)
+    sampler_list = [s for s in os.environ.get(
+        "BENCH_SAMPLERS", "plms,ddim,dpmpp").split(",") if s]
+    if pipe_fp is not None:
+        for sampler in sampler_list:
+            if elapsed() > budget:
+                log(f"skipping {sampler} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
+                continue
+
+            def sampler_extra(sampler=sampler):
+                t0 = time.time()
+                pipe_fp.convert(audio, "svcc_CDF1", key=key, pcm16=True,
+                                upload_pcm16=True, sampler=sampler, speedup=10)
+                log(f"{sampler} compile+warm-up: {time.time() - t0:.1f}s  (elapsed {elapsed():.0f}s)")
+                s_times = []
+                for i in range(5):
+                    t0 = time.time()
+                    pipe_fp.convert(audio, "svcc_CDF1", key=jax.random.PRNGKey(i),
+                                    pcm16=True, upload_pcm16=True,
+                                    sampler=sampler, speedup=10)
+                    s_times.append(time.time() - t0)
+                s_rtf = float(np.median(s_times) / duration)
+                metrics[f"{sampler}10_rtf"] = s_rtf
+                log(f"{sampler}@10 e2e RTF: {s_rtf:.4f} (vs_baseline {0.05 / s_rtf:.2f})")
+
+            if run_extra(f"{sampler} extra", extra_timeout, sampler_extra):
+                emit()
+    else:
+        log("skipping sampler extras: no full-precision pipeline available")
 
     # ---- collect the quality-parity subprocess (CPU chain vs torch ref)
     try:
