@@ -323,10 +323,12 @@ def main():
         alt_box = {}
 
         def alt_extra():
+            # reuse the headline pipe's params (same seed-0 weights either
+            # way): quantize mode is a kernel flag, not a repack, so the
+            # second ~15-min full-scale weight build is pure waste
             cfg.denoiser_quantize = alt_quant
-            apipe = SVCPipeline.from_config(
-                cfg, random_weights=True, whisper_size="medium", bucket=16
-            )
+            apipe = SVCPipeline(cfg, pipe.cond_params, pipe.denoiser_params,
+                                pipe.vocoder_params, pipe.whisper, bucket=16)
             t0 = time.time()
             apipe.convert(audio, "svcc_CDF1", key=key, pcm16=True, upload_pcm16=True)
             log(f"{alt_tag} compile+warm-up: {time.time() - t0:.1f}s  (elapsed {elapsed():.0f}s)")
@@ -341,8 +343,7 @@ def main():
             log(f"{alt_tag} DDPM-1000 e2e RTF: {a_rtf:.4f} (vs_baseline {0.05 / a_rtf:.2f})")
             alt_box["pipe"] = apipe
 
-        # the alt build pays a full model conversion on top of any compile
-        if run_extra(f"{alt_tag} extra", extra_timeout + 600, alt_extra):
+        if run_extra(f"{alt_tag} extra", extra_timeout, alt_extra):
             emit()
             if alt_quant is None:
                 pipe_fp = alt_box["pipe"]  # full-precision pipe for sampler/batch rows
