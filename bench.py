@@ -23,9 +23,11 @@ before the single line-190 emit): the headline now goes out after ONE
 timed run — nothing after warm-up can zero the record — and every extra
 stage that could trigger a fresh remote compile (fast samplers, quantize
 variants, batch throughput) is budget-gated via ``BENCH_BUDGET`` seconds
-(default 2200), runs under a HARD per-extra wall cap
-(``BENCH_EXTRA_TIMEOUT``, default 900 s — a wedged remote-compile
-service hangs fresh compiles forever and try/except can't catch that),
+(default 2200, measured from the headline emit so the variable-cost
+build/warm-up can't starve the extras), runs under a HARD per-extra wall
+cap (``BENCH_EXTRA_TIMEOUT``, default 1250 s — clears one healthy cold
+remote compile; a wedged remote-compile service hangs fresh compiles
+forever and try/except can't catch that),
 and re-emits the scoreboard as soon as it lands. Extras run in value
 order (vocoder, full-precision counterpart, batched throughput, then
 the sampler-comparison rows) so a straggler only ever costs the tail.
@@ -130,10 +132,15 @@ def run_extra(label: str, seconds: float, fn):
 
 def main():
     # extras' hard per-stage caps (run_extra) are the timeout defense now;
-    # the budget just bounds how much tail the scoreboard chases
+    # the budget just bounds how much tail the scoreboard chases. It is
+    # measured FROM THE HEADLINE EMIT (see extras_elapsed below), not from
+    # process start — the mandatory model build + warm-up vary 3-10x with
+    # host contention and cache state, and must not starve the extras.
     budget = float(os.environ.get("BENCH_BUDGET", 2200))
-    # hard per-extra wall cap (compile hangs can't stall the scoreboard)
-    extra_timeout = float(os.environ.get("BENCH_EXTRA_TIMEOUT", 900))
+    # hard per-extra wall cap (compile hangs can't stall the scoreboard);
+    # 1250 s clears a healthy cold remote compile (~1070-1270 s observed)
+    # while still bounding a wedged compile service to ~2 lost extras
+    extra_timeout = float(os.environ.get("BENCH_EXTRA_TIMEOUT", 1250))
     headline_quant = os.environ.get("BENCH_QUANTIZE", "int8-w1")
     if headline_quant.lower() in ("none", "", "bf16", "off"):
         headline_quant = None
@@ -201,6 +208,13 @@ def main():
         "denoiser_quantize": headline_quant or "bf16",
     }
     print(json.dumps(metrics), flush=True)
+
+    # extras budget clock starts HERE — the headline is banked, everything
+    # past this point is optional scoreboard tail
+    t_headline = time.time()
+
+    def extras_elapsed():
+        return time.time() - t_headline
 
     def emit():
         metrics["vs_baseline"] = 0.05 / metrics["value"]
@@ -284,7 +298,7 @@ def main():
     # ---- BigVGAN stage throughput (BASELINE.md: samples/sec, mel→waveform).
     # One extra executable (vocoder-only jit) — budget-gated like every
     # stage below that can trigger a fresh remote compile.
-    if elapsed() < budget:
+    if extras_elapsed() < budget:
         def voc_extra():
             voc_fn = jax.jit(
                 lambda vp, mel: pipe.vocoder.apply({"params": vp}, mel)
@@ -311,7 +325,7 @@ def main():
         if run_extra("vocoder throughput", extra_timeout, voc_extra):
             emit()
     else:
-        log(f"skipping vocoder throughput: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
+        log(f"skipping vocoder throughput: extras wall {extras_elapsed():.0f}s > budget {budget:.0f}s")
 
     # ---- the full-precision counterpart of the headline (or, when the
     # headline runs full precision, the quality-gated int8-w1 speed mode):
@@ -319,7 +333,7 @@ def main():
     alt_quant = None if headline_quant else "int8-w1"
     alt_tag = "bf16" if alt_quant is None else alt_quant.replace("-", "")
     pipe_fp = pipe if headline_quant is None else None
-    if elapsed() < budget:
+    if extras_elapsed() < budget:
         alt_box = {}
 
         def alt_extra():
@@ -348,7 +362,7 @@ def main():
             if alt_quant is None:
                 pipe_fp = alt_box["pipe"]  # full-precision pipe for sampler/batch rows
     else:
-        log(f"skipping {alt_tag} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
+        log(f"skipping {alt_tag} extra: extras wall {extras_elapsed():.0f}s > budget {budget:.0f}s")
 
     # ---- batched serving throughput (clips/sec on the PLMS@10 serving
     # path — the number that justifies the DP/serving layer; the reference
@@ -356,8 +370,8 @@ def main():
     if pipe_fp is not None:
         singers = ["svcc_CDF1", "svcc_CDM1", "svcc_IDF1", "svcc_IDM1"]
         for b in (4, 8):
-            if elapsed() > budget:
-                log(f"skipping batch{b} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
+            if extras_elapsed() > budget:
+                log(f"skipping batch{b} extra: extras wall {extras_elapsed():.0f}s > budget {budget:.0f}s")
                 continue
 
             def batch_extra(b=b):
@@ -389,8 +403,8 @@ def main():
         "BENCH_SAMPLERS", "plms,ddim,dpmpp").split(",") if s]
     if pipe_fp is not None:
         for sampler in sampler_list:
-            if elapsed() > budget:
-                log(f"skipping {sampler} extra: elapsed {elapsed():.0f}s > budget {budget:.0f}s")
+            if extras_elapsed() > budget:
+                log(f"skipping {sampler} extra: extras wall {extras_elapsed():.0f}s > budget {budget:.0f}s")
                 continue
 
             def sampler_extra(sampler=sampler):
@@ -416,7 +430,7 @@ def main():
 
     # ---- collect the quality-parity subprocess (CPU chain vs torch ref)
     try:
-        remaining = max(60.0, budget + 300 - elapsed())
+        remaining = max(60.0, budget + 300 - extras_elapsed())
         out, _ = parity_proc.communicate(timeout=remaining)
         line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
         parity = json.loads(line)

@@ -28,8 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", choices=["ddpm", "plms", "ddim", "dpmpp"], default=None, help="override cfg.mapper.sampler")
     p.add_argument("--speedup", type=int, default=None, help="PLMS stride (default from config)")
     p.add_argument("--seed", type=int, default=0, help="sampling PRNG seed")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="int8 denoiser matmuls (2x MXU rate, small accuracy trade)")
+    p.add_argument("--quantize", choices=["int8", "int8-w1"], default=None,
+                   help="int8 denoiser matmuls (2x MXU rate; int8-w1 keeps "
+                        "the output projection at compute dtype and passes "
+                        "the final-mel corr>=0.9999 quality gate)")
+    p.add_argument("--quantize-tail", type=int, default=None, metavar="K",
+                   help="run the LAST K DDPM steps full-precision "
+                        "(cfg.denoiser_quantize_tail)")
     p.add_argument("--random-weights", action="store_true", help="random-init models (no checkpoints needed)")
     p.add_argument("--whisper-size", default="tiny", help="whisper size when random-init (tiny…large)")
     p.add_argument("--cpu", action="store_true", help="force local CPU execution")
@@ -66,6 +71,8 @@ def main(argv=None) -> int:
         cfg.mapper.plms_speedup = args.speedup
     if args.quantize:
         cfg.denoiser_quantize = args.quantize
+    if args.quantize_tail is not None:
+        cfg.denoiser_quantize_tail = args.quantize_tail
 
     print(f"Loading models ({'random weights' if args.random_weights else 'checkpoints'})...")
     pipe = SVCPipeline.from_config(

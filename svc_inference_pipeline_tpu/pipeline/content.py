@@ -34,7 +34,13 @@ def stack_encoder_block_params(params, n_layers: int):
     layout) → the scanned layout (``blocks/block/...`` with a leading layer
     axis) consumed by WhisperAudioEncoder(scan_layers=True)."""
     blocks = [params[f"block_{i}"] for i in range(n_layers)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    # stack HOST-SIDE: converter/random params arrive as numpy, and an eager
+    # jnp.stack under the axon backend round-trips every block over the TPU
+    # tunnel (upload f32 → remote stack → the caller's host-side cast then
+    # downloads it all again) — ~2.4 GB of avoidable transfers for medium
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
+    )
     out = {k: v for k, v in params.items() if not k.startswith("block_")}
     out["blocks"] = {"block": stacked}
     return out

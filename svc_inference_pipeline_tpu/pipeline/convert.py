@@ -131,17 +131,23 @@ class SVCPipeline:
         # scan steps — storing them in the compute dtype halves that traffic
         # (checkpoints keep the f32 master copy)
         if compute_dtype_name == "bfloat16":
-            denoiser_params = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype=jnp.bfloat16), denoiser_params
-            )
+            # cast host-side when the leaf is host memory: an eager
+            # jnp.asarray under the axon backend uploads the f32 master
+            # over the TPU tunnel and casts remotely — twice the transfer
+            # bytes of shipping bf16 (numpy RNE cast ≡ XLA convert)
+            def _cast_bf16(x):
+                if isinstance(x, np.ndarray):
+                    return x.astype(jnp.dtype(jnp.bfloat16))
+                return jnp.asarray(x, dtype=jnp.bfloat16)
+
+            denoiser_params = jax.tree_util.tree_map(_cast_bf16, denoiser_params)
             # vocoder conv kernels are cast to bf16 per use inside the
             # modules/kernels anyway — storing them bf16 is bit-identical
             # and halves their HBM streaming (profile: ~30 ms of f32 weight
             # slice-starts for the composed stages). 1-D leaves (biases,
             # snake α/β — the latter feed exp in f32) keep the f32 master.
             vocoder_params = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.bfloat16)
-                if getattr(x, "ndim", 0) >= 2 else x,
+                lambda x: _cast_bf16(x) if getattr(x, "ndim", 0) >= 2 else x,
                 vocoder_params,
             )
         # fused Pallas Activation1d/stage kernels on real TPU; XLA

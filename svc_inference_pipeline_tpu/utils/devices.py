@@ -30,10 +30,13 @@ def fast_random_params(init_fn, seed: int = 0, scale: float = 0.02):
     def fill(leaf):
         if len(leaf.shape) <= 1:  # biases/scales: zero (scales fixed below)
             return np.zeros(leaf.shape, dtype=leaf.dtype)
-        # LeCun-style: keeps activations O(1) through deep stacks
+        # LeCun-style: keeps activations O(1) through deep stacks.
+        # Draw float32 directly — the float64 default doubles the gen time
+        # and peak memory at whisper-medium scale (~430M params/model set)
         fan_in = int(np.prod(leaf.shape[:-1]))
-        std = 1.0 / np.sqrt(max(fan_in, 1))
-        return rng.standard_normal(leaf.shape).astype(leaf.dtype) * std
+        std = np.float32(1.0 / np.sqrt(max(fan_in, 1)))
+        out = rng.standard_normal(leaf.shape, dtype=np.float32) * std
+        return out if leaf.dtype == np.float32 else out.astype(leaf.dtype)
 
     params = jax.tree_util.tree_map(fill, shapes)
 
